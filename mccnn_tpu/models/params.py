@@ -1,0 +1,118 @@
+"""Parameter persistence and converters from both reference weight formats.
+
+The reference stores weights two ways: TF1 ``Saver`` checkpoints
+(reference: src/train.py:129,176-180) and an npy dict keyed by TF variable
+names like ``conv1/weights:0`` (reference: src/model.py:67-85). We persist a
+flat ``.npz`` natively and convert from both reference formats so a user of
+the reference can bring their trained model along (e.g. the shipped
+``model_epoch2000.ckpt``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+from mccnn_tpu.models.net import Params
+
+
+def save_params(params: Params, path: str) -> None:
+    """Save a params pytree as a flat npz (keys ``conv{i}/w``, ``conv{i}/b``)."""
+    flat = {}
+    for name, layer in params.items():
+        flat[f"{name}/w"] = np.asarray(layer["w"])
+        flat[f"{name}/b"] = np.asarray(layer["b"])
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> Params:
+    """Load a params pytree from ``save_params`` output."""
+    with np.load(path) as data:
+        params: Params = {}
+        for key in data.files:
+            name, _, kind = key.partition("/")
+            params.setdefault(name, {})[kind] = np.asarray(data[key])
+    _validate(params)
+    return params
+
+
+def load_reference_npy_dict(path: str) -> Params:
+    """Convert the reference's npy weight dict (reference: src/model.py:67-76).
+
+    Keys look like ``conv1/weights:0`` / ``conv1/biases:0``; values are
+    HWIO conv kernels and bias vectors — the layouts match ours directly.
+    """
+    weights_dict = np.load(path, encoding="bytes", allow_pickle=True).item()
+    params: Params = {}
+    for raw_key, value in weights_dict.items():
+        key = raw_key.decode() if isinstance(raw_key, bytes) else str(raw_key)
+        match = re.match(r"(conv\d+)/(weights|biases)(:0)?$", key)
+        if match is None:
+            continue
+        name, kind = match.group(1), match.group(2)
+        params.setdefault(name, {})["w" if kind == "weights" else "b"] = np.asarray(
+            value, dtype=np.float32
+        )
+    _validate(params)
+    return params
+
+
+def save_reference_npy_dict(params: Params, path: str) -> None:
+    """Export to the reference's npy dict format (round-trip compatibility)."""
+    weights_dict = {}
+    for name, layer in params.items():
+        weights_dict[f"{name}/weights:0"] = np.asarray(layer["w"])
+        weights_dict[f"{name}/biases:0"] = np.asarray(layer["b"])
+    np.save(path, weights_dict)
+
+
+def load_tf_checkpoint(path: str) -> Params:
+    """Convert a reference TF1 ``Saver`` checkpoint (e.g. model_epoch2000.ckpt).
+
+    Variables are named ``conv{i}/weights`` / ``conv{i}/biases`` (plus
+    Momentum slots, skipped). Requires tensorflow in the environment; we only
+    touch the checkpoint *reader*, no graph/session.
+    """
+    try:
+        from tensorflow.python.training import py_checkpoint_reader
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "converting TF checkpoints requires tensorflow; "
+            "use load_reference_npy_dict or native npz checkpoints instead"
+        ) from exc
+
+    reader = py_checkpoint_reader.NewCheckpointReader(path)
+    params: Params = {}
+    for key in reader.get_variable_to_shape_map():
+        match = re.match(r"(conv\d+)/(weights|biases)$", key)
+        if match is None:
+            continue
+        name, kind = match.group(1), match.group(2)
+        params.setdefault(name, {})["w" if kind == "weights" else "b"] = np.asarray(
+            reader.get_tensor(key), dtype=np.float32
+        )
+    _validate(params)
+    return params
+
+
+def load_any(path: str) -> Params:
+    """Load weights from any supported format, sniffed from the path."""
+    if path.endswith(".npz"):
+        return load_params(path)
+    if path.endswith(".npy"):
+        return load_reference_npy_dict(path)
+    return load_tf_checkpoint(path)
+
+
+def _validate(params: Params) -> None:
+    if not params:
+        raise ValueError("no conv layers found in weight file")
+    layer_ids = sorted(int(n[4:]) for n in params)
+    expected = list(range(1, len(layer_ids) + 1))
+    if layer_ids != expected:
+        raise ValueError(f"non-contiguous conv layers: {layer_ids}")
+    for name, layer in params.items():
+        if "w" not in layer or "b" not in layer:
+            raise ValueError(f"layer {name} missing weights or biases")

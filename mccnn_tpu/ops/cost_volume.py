@@ -1,0 +1,230 @@
+"""Disparity cost-volume construction.
+
+Behavioral spec (reference: src/process_functional.py:78-113):
+  * ``cost[h, w, d] = -<fL(h, w), fR(h, w-d)>`` over 64-d unit descriptors.
+  * Left-volume entries with ``w < d`` have no correspondence; column ``d-1``
+    is filled (descending d, sequentially) with the mean of the <=3 nearest
+    valid columns for disparities ``>= d``.
+  * The right volume is the left volume's valid band shifted
+    (``rcv[h, w, d] = lcv[h, w+d, d]``), with a mirrored border fill on the
+    right edge.
+
+TPU design: instead of the reference's per-disparity Python shift-and-dot
+loop, the scores are produced on the MXU as row-block correlation matmuls
+``fL[h] @ fR[h]^T`` with the diagonal band gathered out (method="matmul"),
+or as a lane-friendly roll-and-reduce scan (method="rolldot", exact f32 VPU
+math, used for parity tests and tiny shapes). Volumes are ``(H, W, D)`` with
+D padded to a lane multiple; padded entries hold the ``BIG_COST`` sentinel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mccnn_tpu.ops.common import (
+    BIG_COST,
+    column_iota,
+    disparity_iota,
+    pad_disparities,
+)
+
+__all__ = ["cost_volume_pair", "pad_disparities"]
+
+
+def cost_volume_pair(
+    features_left: jax.Array,
+    features_right: jax.Array,
+    ndisp: int,
+    d_pad: int | None = None,
+    method: str = "matmul",
+    row_chunk: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Build the (left, right) cost volumes, border-filled and +inf-padded.
+
+    Args:
+      features_left/right: (H, W, C) descriptor fields.
+      ndisp: number of real disparities (static).
+      d_pad: padded disparity depth (defaults to ndisp rounded to 128).
+      method: "matmul" (MXU row-block correlation) or "rolldot" (VPU scan).
+      row_chunk: rows per correlation matmul block for method="matmul".
+
+    Returns:
+      (left, right) volumes of shape (H, W, d_pad), dtype float32; entries
+      at d >= ndisp hold BIG_COST.
+    """
+    height, width, _ = features_left.shape
+    if ndisp > width:
+        raise ValueError(f"ndisp ({ndisp}) must be <= image width ({width})")
+    if d_pad is None:
+        d_pad = pad_disparities(ndisp)
+
+    if method == "matmul":
+        scores_left = _left_scores_matmul(
+            features_left, features_right, d_pad, row_chunk
+        )
+    elif method == "rolldot":
+        scores_left = _left_scores_rolldot(features_left, features_right, d_pad)
+    else:
+        raise ValueError(f"unknown cost-volume method: {method}")
+
+    # zero out both the w < d band and the disparity padding before the fills
+    wgrid = column_iota(width)
+    dgrid = disparity_iota(d_pad)
+    valid = (wgrid >= dgrid) & (dgrid < ndisp)
+    scores_left = jnp.where(valid, scores_left, 0.0)
+
+    scores_right = _right_from_left(scores_left, ndisp)
+
+    scores_left = _border_fill_left(scores_left, ndisp)
+    scores_right = _border_fill_right(scores_right, ndisp)
+
+    pad_mask = dgrid < ndisp
+    left = jnp.where(pad_mask, -scores_left, BIG_COST)
+    right = jnp.where(pad_mask, -scores_right, BIG_COST)
+    return left, right
+
+
+def _left_scores_rolldot(
+    features_left: jax.Array, features_right: jax.Array, d_pad: int
+) -> jax.Array:
+    """Scores via per-disparity shifted dot products (exact f32, VPU)."""
+    height, width, _ = features_left.shape
+
+    def step(volume, d):
+        shifted = jnp.roll(features_right, d, axis=1)
+        dots = jnp.sum(features_left * shifted, axis=-1)
+        return lax.dynamic_update_index_in_dim(volume, dots, d, axis=2), None
+
+    init = jnp.zeros((height, width, d_pad), dtype=jnp.float32)
+    volume, _ = lax.scan(step, init, jnp.arange(d_pad, dtype=jnp.int32))
+    return volume
+
+
+def _left_scores_matmul(
+    features_left: jax.Array,
+    features_right: jax.Array,
+    d_pad: int,
+    row_chunk: int,
+) -> jax.Array:
+    """Scores via MXU row-block correlation + banded gather.
+
+    For each block of rows, computes the full (W, W) correlation matrix
+    ``fL[h] @ fR[h]^T`` on the MXU (f32 via highest-precision passes) and
+    gathers the diagonal band ``scores[w, d] = corr[w, w - d]``.
+    """
+    height, width, _ = features_left.shape
+    pad_rows = (-height) % row_chunk
+    fl = jnp.pad(features_left, ((0, pad_rows), (0, 0), (0, 0)))
+    fr = jnp.pad(features_right, ((0, pad_rows), (0, 0), (0, 0)))
+    num_chunks = fl.shape[0] // row_chunk
+    fl = fl.reshape(num_chunks, row_chunk, width, -1)
+    fr = fr.reshape(num_chunks, row_chunk, width, -1)
+
+    wgrid = jnp.arange(width, dtype=jnp.int32)[:, None]
+    dgrid = jnp.arange(d_pad, dtype=jnp.int32)[None, :]
+    band_idx = jnp.clip(wgrid - dgrid, 0, width - 1)  # (W, D)
+
+    def chunk_scores(chunk):
+        fl_chunk, fr_chunk = chunk
+        corr = jnp.einsum(
+            "hwc,hvc->hwv",
+            fl_chunk,
+            fr_chunk,
+            precision=lax.Precision.HIGHEST,
+        )
+        return jnp.take_along_axis(corr, band_idx[None], axis=2)
+
+    scores = lax.map(chunk_scores, (fl, fr))
+    scores = scores.reshape(num_chunks * row_chunk, width, d_pad)
+    return scores[:height]
+
+
+def _right_from_left(scores_left: jax.Array, ndisp: int) -> jax.Array:
+    """rcv[h, w, d] = lcv[h, w+d, d] for w+d < W, else 0.
+
+    (The dot product is symmetric, so the right volume is a shift of the
+    left one — reference: src/process_functional.py:100-106.)
+    """
+    height, width, d_pad = scores_left.shape
+    wgrid = column_iota(width)
+    dgrid = disparity_iota(d_pad)
+    src = jnp.clip(wgrid + dgrid, 0, width - 1)  # (1, W, D)
+    gathered = jnp.take_along_axis(scores_left, jnp.broadcast_to(
+        src, (height, width, d_pad)), axis=1)
+    valid = (wgrid + dgrid < width) & (dgrid < ndisp)
+    return jnp.where(valid, gathered, 0.0)
+
+
+def _masked_mean3(cols: jax.Array, valid: jax.Array) -> jax.Array:
+    """Mean over the valid subset of 3 gathered columns (H, 3, D)."""
+    count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    total = jnp.sum(
+        jnp.where(valid[None, :, None], cols, 0.0), axis=1
+    )
+    return total / count
+
+
+def _border_fill_left(scores: jax.Array, ndisp: int) -> jax.Array:
+    """Fill the no-correspondence band of the left volume.
+
+    Sequentially for d = ndisp-1 .. 1: column d-1 gets, for disparities
+    >= d, the mean of columns d..d+2 (clipped at the image edge) — columns
+    that may themselves have been filled by earlier steps
+    (reference: src/process_functional.py:94-95).
+    """
+    height, width, d_pad = scores.shape
+    dgrid = disparity_iota(d_pad)[0]  # (1, D)
+
+    def step(volume, d):
+        padded = jnp.pad(volume, ((0, 0), (0, 2), (0, 0)))
+        cols = lax.dynamic_slice(
+            padded, (0, d, 0), (height, 3, d_pad)
+        )
+        valid = d + jnp.arange(3, dtype=jnp.int32) < width
+        mean = _masked_mean3(cols, valid)
+        old = lax.dynamic_index_in_dim(volume, d - 1, axis=1, keepdims=False)
+        new_col = jnp.where(dgrid >= d, mean, old)
+        return lax.dynamic_update_index_in_dim(volume, new_col, d - 1, axis=1), None
+
+    if ndisp < 2:
+        return scores
+    steps = jnp.arange(ndisp - 1, 0, -1, dtype=jnp.int32)
+    volume, _ = lax.scan(step, scores, steps)
+    return volume
+
+
+def _border_fill_right(scores: jax.Array, ndisp: int) -> jax.Array:
+    """Mirrored border fill for the right volume.
+
+    Sequentially for d = ndisp-1 .. 1: column W-d gets, for disparities
+    >= d, the mean of columns W-d-3..W-d-1
+    (reference: src/process_functional.py:105-106).
+    """
+    height, width, d_pad = scores.shape
+    dgrid = disparity_iota(d_pad)[0]  # (1, D)
+
+    def step(volume, d):
+        padded = jnp.pad(volume, ((0, 0), (3, 0), (0, 0)))
+        # slice start (width - d - 3) in unpadded coords -> (width - d) padded
+        cols = lax.dynamic_slice(
+            padded, (0, width - d, 0), (height, 3, d_pad)
+        )
+        valid = width - d - 3 + jnp.arange(3, dtype=jnp.int32) >= 0
+        mean = _masked_mean3(cols, valid)
+        old = lax.dynamic_index_in_dim(volume, width - d, axis=1, keepdims=False)
+        new_col = jnp.where(dgrid >= d, mean, old)
+        return (
+            lax.dynamic_update_index_in_dim(volume, new_col, width - d, axis=1),
+            None,
+        )
+
+    if ndisp < 2:
+        return scores
+    steps = jnp.arange(ndisp - 1, 0, -1, dtype=jnp.int32)
+    volume, _ = lax.scan(step, scores, steps)
+    return volume

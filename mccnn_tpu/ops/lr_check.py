@@ -1,0 +1,127 @@
+"""Left-right consistency check and disparity interpolation.
+
+Behavioral spec (reference: src/process_functional.py:279-378). Each pixel is
+classified:
+  * occlusion (2) if it has no correspondence (``w < dL``) or no disparity
+    explains it;
+  * match (0) if ``|dL(p) - dR(p - dL)| <= 1``;
+  * mismatch (1) if some other disparity d has ``|d - dR(p - d)| <= 1``.
+Fills: mismatch -> median of the nearest *match* pixels found in the 4 axis
+directions (the paper uses 16 directions; the reference uses 4,
+reference comment at :318); occlusion -> nearest match strictly to the right
+(the paper extends left; the reference goes right, comment at :361); pixels
+with no found neighbor keep their raw value.
+
+TPU design: the per-pixel directional searches become log-depth
+``lax.associative_scan`` "last seen match" sweeps; the mismatch existence
+test is one banded gather over the disparity axis. No data-dependent loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _last_seen(values: jax.Array, seen: jax.Array, axis: int, reverse: bool):
+    """Inclusive 'latest seen value' scan along ``axis``.
+
+    Returns (vals, flags): at each position, the value of the nearest
+    position with ``seen=True`` at-or-before it in scan order.
+    """
+
+    def combine(a, b):
+        # b is the later element in scan order; keep it where it has seen one
+        a_val, a_seen = a
+        b_val, b_seen = b
+        return jnp.where(b_seen, b_val, a_val), a_seen | b_seen
+
+    return lax.associative_scan(combine, (values, seen), axis=axis, reverse=reverse)
+
+
+def _nearest_strict(values, seen, axis: int, toward_end: bool):
+    """Nearest seen value strictly beyond each position along a direction.
+
+    ``toward_end=True`` searches toward increasing index (right/down).
+    """
+    vals, flags = _last_seen(values, seen, axis=axis, reverse=toward_end)
+    # shift by one against the search direction to make it strict
+    shift = -1 if toward_end else 1
+    vals = jnp.roll(vals, shift, axis=axis)
+    flags = jnp.roll(flags, shift, axis=axis)
+    size = values.shape[axis]
+    coords = jnp.arange(size, dtype=jnp.int32)
+    coords = coords.reshape([-1 if a == axis else 1 for a in range(values.ndim)])
+    edge = coords == (size - 1 if toward_end else 0)
+    flags = jnp.where(edge, False, flags)
+    return vals, flags
+
+
+def classify(
+    left_disparity: jax.Array, right_disparity: jax.Array, ndisp: int
+) -> jax.Array:
+    """(H, W) int32 status map: 0 = match, 1 = mismatch, 2 = occlusion."""
+    height, width = left_disparity.shape
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+    d_left = left_disparity.astype(jnp.int32)
+
+    no_correspondence = cols < d_left
+    src = jnp.clip(cols - d_left, 0, width - 1)
+    d_right_at = jnp.take_along_axis(right_disparity, src, axis=1)
+    match = (~no_correspondence) & (
+        jnp.abs(d_left.astype(jnp.float32) - d_right_at) <= 1.0
+    )
+
+    # exists d in [0, min(w+1, ndisp)) with |d - dR(h, w-d)| <= 1 ?
+    disps = jnp.arange(ndisp, dtype=jnp.int32)
+    probe = cols[0][:, None] - disps[None, :]  # (W, ndisp)
+    gathered = jnp.take(right_disparity, jnp.clip(probe, 0, width - 1), axis=1)
+    agrees = jnp.abs(disps[None, None].astype(jnp.float32) - gathered) <= 1.0
+    in_range = (probe >= 0)[None]
+    mismatch = jnp.any(agrees & in_range, axis=-1)
+
+    return jnp.where(
+        no_correspondence,
+        2,
+        jnp.where(match, 0, jnp.where(mismatch, 1, 2)),
+    ).astype(jnp.int32)
+
+
+def interpolate(
+    left_disparity: jax.Array, status: jax.Array
+) -> jax.Array:
+    """Fill mismatches/occlusions from nearest match pixels (see module doc)."""
+    is_match = status == 0
+
+    right_v, right_f = _nearest_strict(left_disparity, is_match, 1, toward_end=True)
+    left_v, left_f = _nearest_strict(left_disparity, is_match, 1, toward_end=False)
+    down_v, down_f = _nearest_strict(left_disparity, is_match, 0, toward_end=True)
+    up_v, up_f = _nearest_strict(left_disparity, is_match, 0, toward_end=False)
+
+    vals = jnp.stack([right_v, left_v, down_v, up_v], axis=-1)
+    flags = jnp.stack([right_f, left_f, down_f, up_f], axis=-1)
+    count = jnp.sum(flags, axis=-1)
+    ordered = jnp.sort(jnp.where(flags, vals, jnp.inf), axis=-1)
+    lo = jnp.clip((count - 1) // 2, 0, 3)
+    hi = jnp.clip(count // 2, 0, 3)
+    median = 0.5 * (
+        jnp.take_along_axis(ordered, lo[..., None], axis=-1)[..., 0]
+        + jnp.take_along_axis(ordered, hi[..., None], axis=-1)[..., 0]
+    )
+    mismatch_fill = jnp.where(count > 0, median, left_disparity)
+    occlusion_fill = jnp.where(right_f, right_v, left_disparity)
+
+    return jnp.where(
+        status == 0,
+        left_disparity,
+        jnp.where(status == 1, mismatch_fill, occlusion_fill),
+    )
+
+
+def lr_consistency_interpolate(
+    left_disparity: jax.Array, right_disparity: jax.Array, ndisp: int
+) -> jax.Array:
+    """Full consistency check + interpolation (reference pipeline stage)."""
+    status = classify(left_disparity, right_disparity, ndisp)
+    return interpolate(left_disparity, status)

@@ -1,0 +1,206 @@
+"""Semi-global matching (SGM), 4 axis-aligned directions.
+
+Behavioral spec (reference: src/process_functional.py:187-235,476-568):
+  * Per direction r in {right, left, up, down}, a DP sweep with the
+    min-normalized recurrence
+      L(d,p) = C(d,p) + min(L(d,p-r), L(d+-1,p-r)+P1, min_d' L(d',p-r)+P2)
+                      - min_d' L(d',p-r)
+    where the boundary d+-1 terms are omitted at the disparity edges and the
+    first line in the sweep direction is never updated.
+  * Adaptive penalties: P1/P2 are divided by Q2 where both image-gradient
+    tests D1 (own image) and D2 (other image, disparity-shifted) are >= D,
+    by Q1 where exactly one is, and kept where both are < D. Vertical sweeps
+    use P1/V. Out-of-range D2 probes count as 0 (i.e. "< D").
+  * CRITICAL reference quirk, reproduced as the default mode: the four
+    directional sweeps alias one buffer (``cost_volume_rd = cost_volume`` at
+    reference: src/process_functional.py:544 is not a copy), so they run
+    *sequentially in place* and the final "average" at :210 averages four
+    references to the same array. ``paper_mode=True`` instead gives the
+    paper's independent-direction average.
+
+TPU design: each sweep is a ``lax.scan`` along the sweep axis whose carry is
+the whole (H, W, D) volume, updated one (H, D) line per step (XLA keeps the
+donated carry in place). The previous line's min-over-d is a lane reduction;
+d+-1 neighbors are lane shifts filled with BIG_COST, which implements the
+disparity-edge boundary cases for free given the BIG_COST disparity padding.
+The D2 penalty test is precomputed as one (H, W, D) bool plane per direction
+(a gathered directional gradient of the other image), never a (ndisp, H, W)
+float volume.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mccnn_tpu.ops.common import BIG_COST
+from mccnn_tpu.utils.config import MatchConfig
+
+# sweep order matters in the reference-faithful chained mode
+# (reference: src/process_functional.py:192-210): right, left, up, down
+_DIRECTIONS = ((0, 1), (0, -1), (-1, 0), (1, 0))
+
+
+def sgm(
+    left_volume: jax.Array,
+    right_volume: jax.Array,
+    left_image: jax.Array,
+    right_image: jax.Array,
+    ndisp: int,
+    config: MatchConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply 4-direction SGM to both (H, W, D) cost volumes."""
+    left_out = _sgm_one_volume(
+        left_volume, left_image, right_image, "L", ndisp, config
+    )
+    right_out = _sgm_one_volume(
+        right_volume, left_image, right_image, "R", ndisp, config
+    )
+    return left_out, right_out
+
+
+def _sgm_one_volume(
+    volume: jax.Array,
+    left_image: jax.Array,
+    right_image: jax.Array,
+    choice: str,
+    ndisp: int,
+    config: MatchConfig,
+) -> jax.Array:
+    if config.sgm_paper_mode:
+        swept = [
+            _directional_sweep(
+                volume, left_image, right_image, choice, d, ndisp, config
+            )
+            for d in _DIRECTIONS
+        ]
+        return (swept[0] + swept[1] + swept[2] + swept[3]) / 4.0
+    # reference-faithful: chained in-place sweeps (the aliasing quirk)
+    for direction in _DIRECTIONS:
+        volume = _directional_sweep(
+            volume, left_image, right_image, choice, direction, ndisp, config
+        )
+    return volume
+
+
+def _directional_sweep(
+    volume: jax.Array,
+    left_image: jax.Array,
+    right_image: jax.Array,
+    choice: str,
+    direction: Tuple[int, int],
+    ndisp: int,
+    config: MatchConfig,
+) -> jax.Array:
+    rh, rw = direction
+    vertical = rh != 0
+    p1_base = config.sgm_p1 / config.sgm_v if vertical else config.sgm_p1
+    p2_base = config.sgm_p2
+
+    small_d1, small_d2 = _penalty_bits(
+        left_image, right_image, choice, direction, volume.shape[2], config.sgm_d
+    )
+
+    if vertical:
+        # reuse the along-axis-1 sweep by swapping H and W
+        volume = volume.transpose(1, 0, 2)
+        small_d1 = small_d1.T
+        small_d2 = small_d2.transpose(1, 0, 2)
+        out = _sweep_along_w(
+            volume, small_d1, small_d2, p1_base, p2_base, config, forward=(rh == 1)
+        )
+        return out.transpose(1, 0, 2)
+    return _sweep_along_w(
+        volume, small_d1, small_d2, p1_base, p2_base, config, forward=(rw == 1)
+    )
+
+
+def _penalty_bits(
+    left_image: jax.Array,
+    right_image: jax.Array,
+    choice: str,
+    direction: Tuple[int, int],
+    d_pad: int,
+    sgm_d: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """(D1 < sgm_d) plane and (D2 < sgm_d) volume for one direction.
+
+    D1(h,w) = |I_self(h,w) - I_self(h-rh, w-rw)|.
+    D2(d,h,w) probes the *other* image's directional gradient at the
+    disparity-shifted column (w-d for the left volume, w+d for the right),
+    with out-of-range probes counting as 0 (reference skips them, leaving
+    the zero initialization, reference: src/process_functional.py:507-533).
+    """
+    rh, rw = direction
+    self_image = left_image if choice == "L" else right_image
+    other_image = right_image if choice == "L" else left_image
+    width = left_image.shape[1]
+
+    grad_self = jnp.abs(self_image - jnp.roll(jnp.roll(self_image, rh, 0), rw, 1))
+    small_d1 = grad_self < sgm_d
+
+    grad_other = jnp.abs(
+        other_image - jnp.roll(jnp.roll(other_image, rh, 0), rw, 1)
+    )
+    cols = jnp.arange(width, dtype=jnp.int32)[:, None]
+    disps = jnp.arange(d_pad, dtype=jnp.int32)[None, :]
+    if choice == "L":
+        probe = cols - disps  # (W, D)
+        out_of_range = probe < max(0, rw)
+    else:
+        probe = cols + disps
+        out_of_range = probe >= width + min(0, rw)
+    gathered = jnp.take(grad_other, jnp.clip(probe, 0, width - 1), axis=1)
+    small_d2 = jnp.where(out_of_range[None], True, gathered < sgm_d)
+    return small_d1, small_d2
+
+
+def _sweep_along_w(
+    volume: jax.Array,
+    small_d1: jax.Array,
+    small_d2: jax.Array,
+    p1_base: float,
+    p2_base: float,
+    config: MatchConfig,
+    forward: bool,
+) -> jax.Array:
+    """One DP sweep along axis 1. The first column in sweep order is kept."""
+    height, width, d_pad = volume.shape
+    inv_q1 = 1.0 / config.sgm_q1
+    inv_q2 = 1.0 / config.sgm_q2
+
+    def step(vol, w):
+        prev_w = w - 1 if forward else w + 1
+        prev = lax.dynamic_index_in_dim(vol, prev_w, axis=1, keepdims=False)
+        cur = lax.dynamic_index_in_dim(vol, w, axis=1, keepdims=False)
+        b1 = lax.dynamic_index_in_dim(small_d1, w, axis=1, keepdims=False)
+        b2 = lax.dynamic_index_in_dim(small_d2, w, axis=1, keepdims=False)
+
+        scale = jnp.where(
+            b1[:, None] & b2,
+            1.0,
+            jnp.where(~b1[:, None] & ~b2, inv_q2, inv_q1),
+        )
+        p1 = p1_base * scale
+        p2 = p2_base * scale
+
+        min_prev = jnp.min(prev, axis=1, keepdims=True)
+        big = jnp.full((height, 1), BIG_COST, dtype=vol.dtype)
+        from_below = jnp.concatenate([big, prev[:, :-1]], axis=1)  # L(d-1)
+        from_above = jnp.concatenate([prev[:, 1:], big], axis=1)  # L(d+1)
+        candidate = jnp.minimum(
+            jnp.minimum(prev, from_below + p1),
+            jnp.minimum(from_above + p1, min_prev + p2),
+        )
+        new_line = cur + candidate - min_prev
+        return lax.dynamic_update_index_in_dim(vol, new_line, w, axis=1), None
+
+    if forward:
+        steps = jnp.arange(1, width, dtype=jnp.int32)
+    else:
+        steps = jnp.arange(width - 2, -1, -1, dtype=jnp.int32)
+    out, _ = lax.scan(step, volume, steps)
+    return out

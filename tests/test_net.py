@@ -1,0 +1,74 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mccnn_tpu.models import (
+    extract_features,
+    init_params,
+    load_params,
+    load_reference_npy_dict,
+    patch_descriptors,
+    save_params,
+    save_reference_npy_dict,
+)
+from mccnn_tpu.utils.config import NetConfig
+
+
+def _params():
+    return init_params(jax.random.key(0))
+
+
+def test_patch_descriptor_shape_and_norm(rng):
+    params = _params()
+    patches = jnp.asarray(rng.normal(size=(4, 11, 11, 1)).astype(np.float32))
+    desc = patch_descriptors(params, patches)
+    assert desc.shape == (4, 64)
+    np.testing.assert_allclose(np.linalg.norm(desc, axis=-1), 1.0, atol=1e-5)
+
+
+def test_feature_field_shape(rng):
+    params = _params()
+    image = jnp.asarray(rng.normal(size=(20, 30)).astype(np.float32))
+    feats = extract_features(params, image)
+    assert feats.shape == (20, 30, 64)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
+
+
+def test_fully_convolutional_equivalence(rng):
+    """The core trick: descriptor at (h, w) of the padded full image equals
+    the descriptor of the 11x11 patch centered there (zero padding included),
+    matching reference: src/process_functional.py:15-31 semantics."""
+    params = _params()
+    image = rng.normal(size=(16, 18)).astype(np.float32)
+    feats = np.asarray(extract_features(params, jnp.asarray(image)))
+
+    padded = np.pad(image, 5)
+    for h, w in [(0, 0), (7, 9), (15, 17), (3, 12)]:
+        patch = padded[h: h + 11, w: w + 11][None, :, :, None]
+        desc = np.asarray(patch_descriptors(params, jnp.asarray(patch)))[0]
+        np.testing.assert_allclose(feats[h, w], desc, atol=1e-5)
+
+
+def test_receptive_field_matches_patch():
+    config = NetConfig()
+    assert config.receptive_field + 1 == config.patch_size
+
+
+def test_params_npz_round_trip(tmp_path):
+    params = _params()
+    path = str(tmp_path / "w.npz")
+    save_params(params, path)
+    loaded = load_params(path)
+    for name in params:
+        np.testing.assert_array_equal(loaded[name]["w"], params[name]["w"])
+        np.testing.assert_array_equal(loaded[name]["b"], params[name]["b"])
+
+
+def test_reference_npy_dict_round_trip(tmp_path):
+    params = _params()
+    path = str(tmp_path / "pretrain.npy")
+    save_reference_npy_dict(params, path)
+    loaded = load_reference_npy_dict(path)
+    for name in params:
+        np.testing.assert_array_equal(loaded[name]["w"], params[name]["w"])
+        np.testing.assert_array_equal(loaded[name]["b"], params[name]["b"])
