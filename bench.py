@@ -1,0 +1,75 @@
+"""Benchmark: full matching pipeline throughput on one chip.
+
+Runs the complete pipeline (features -> cost volume -> CBCA(2) -> SGM ->
+CBCA(16) -> WTA -> LR -> subpixel -> median -> bilateral) with the paper's
+Middlebury hyperparameters on a synthetic half-res-scale pair
+(1000 x 1504, ndisp 200 — Middlebury v3 half-res is ~1500x1000 with ndisp
+up to ~200).
+
+Baseline context (BASELINE.md): the reference publishes no numbers — its
+post-processing is per-pixel Python (days per pair at this size); the
+driver-defined target is < 5 s per half-res pair on one chip, i.e.
+0.3 MP/s. ``vs_baseline`` is measured MP/s over that 0.3 MP/s target.
+
+Prints exactly one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+HEIGHT, WIDTH, NDISP = 1000, 1504, 200
+TARGET_MPS = (HEIGHT * WIDTH / 1e6) / 5.0  # the <5 s north-star
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.models.net import init_params
+    from mccnn_tpu.pipeline.match import match_pair
+    from mccnn_tpu.utils.config import MatchConfig
+
+    config = MatchConfig()  # paper defaults: CBCA 2+16 iters, 4-dir SGM
+    params = init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(HEIGHT, WIDTH)).astype(np.float32)
+    left = jnp.asarray((base - base.mean()) / base.std())
+    shifted = np.roll(base, -12, axis=1) + 0.05 * rng.normal(
+        size=(HEIGHT, WIDTH)
+    ).astype(np.float32)
+    right = jnp.asarray((shifted - shifted.mean()) / shifted.std())
+
+    fn = jax.jit(lambda p, l, r: match_pair(p, l, r, NDISP, config))
+
+    t0 = time.time()
+    out = fn(params, left, right)
+    out.block_until_ready()
+    compile_and_first = time.time() - t0
+    print(f"first call (incl. compile): {compile_and_first:.2f}s",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fn(params, left, right).block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    mpix_per_s = HEIGHT * WIDTH / 1e6 / best
+    print(f"steady-state: {best:.3f}s per pair ({mpix_per_s:.2f} MP/s), "
+          f"runs: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "halfres_full_pipeline_megapixels_per_s",
+        "value": round(mpix_per_s, 4),
+        "unit": "MP/s",
+        "vs_baseline": round(mpix_per_s / TARGET_MPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

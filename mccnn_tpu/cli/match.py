@@ -1,0 +1,138 @@
+"""Matching CLI — flag-compatible with the reference's match.py.
+
+Reference contract (reference: src/match.py:15-54): a left-image list file,
+``--data_dir``/``--save_dir``/``--tag`` output derivation, ``--start/--end``
+index slicing for per-image process sharding, all CBCA/SGM/blur
+hyperparameters, and Middlebury-v3 artifacts (disp0MCCNN.pfm/.pgm,
+timeMCCNN.txt) per scene. The pipeline itself runs as one jitted device
+program per shape bucket (see mccnn_tpu.pipeline.match).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from mccnn_tpu.data.dataset import load_grayscale
+from mccnn_tpu.io.calib import parse_calib
+from mccnn_tpu.io.middlebury import (
+    derive_scene_paths,
+    ensure_dirs,
+    save_disparity_pgm,
+    save_time_file,
+)
+from mccnn_tpu.io.pfm import write_pfm
+from mccnn_tpu.models.params import load_any
+from mccnn_tpu.pipeline.match import MatchPipeline, standardize_image
+from mccnn_tpu.utils.config import MatchConfig
+from mccnn_tpu.utils.metrics import MetricsLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        description="stereo matching based on trained model and post-processing "
+                    "(TPU-native)",
+    )
+    parser.add_argument("-g", "--gpu", type=str, default="0",
+                        help="accepted for reference compatibility; device "
+                             "selection is automatic under JAX")
+    parser.add_argument("-ps", "--patch_size", type=int, default=11)
+    parser.add_argument("--list_file", type=str, required=True)
+    parser.add_argument("--resume", type=str, required=True,
+                        help="weights: native .npz, reference .npy dict, or "
+                             "reference TF checkpoint prefix")
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--save_dir", type=str, required=True)
+    parser.add_argument("-t", "--tag", type=str, required=True)
+    parser.add_argument("-s", "--start", type=int, required=True)
+    parser.add_argument("-e", "--end", type=int, required=True)
+
+    parser.add_argument("--cbca_intensity", type=float, default=0.02)
+    parser.add_argument("--cbca_distance", type=float, default=14)
+    parser.add_argument("--cbca_num_iterations1", type=float, default=2)
+    parser.add_argument("--cbca_num_iterations2", type=float, default=16)
+    parser.add_argument("--sgm_P1", type=float, default=2.3)
+    parser.add_argument("--sgm_P2", type=float, default=55.9)
+    parser.add_argument("--sgm_Q1", type=float, default=4)
+    parser.add_argument("--sgm_Q2", type=float, default=8)
+    parser.add_argument("--sgm_D", type=float, default=0.08)
+    parser.add_argument("--sgm_V", type=float, default=1.5)
+    parser.add_argument("--blur_sigma", type=float, default=6)
+    parser.add_argument("--blur_threshold", type=float, default=2)
+    parser.add_argument("--sgm_paper_mode", action="store_true",
+                        help="independent-direction SGM average instead of the "
+                             "reference's chained in-place sweeps")
+    parser.add_argument("--cost_volume_method", type=str, default="matmul",
+                        choices=["matmul", "rolldot"])
+    parser.add_argument("--bucket", type=int, default=64,
+                        help="pad images to multiples of this to bound "
+                             "recompilation across scene shapes")
+    return parser
+
+
+def config_from_args(args) -> MatchConfig:
+    return MatchConfig(
+        cbca_intensity=args.cbca_intensity,
+        cbca_distance=int(args.cbca_distance),
+        cbca_num_iterations_1=int(args.cbca_num_iterations1),
+        cbca_num_iterations_2=int(args.cbca_num_iterations2),
+        sgm_p1=args.sgm_P1,
+        sgm_p2=args.sgm_P2,
+        sgm_q1=args.sgm_Q1,
+        sgm_q2=args.sgm_Q2,
+        sgm_d=args.sgm_D,
+        sgm_v=args.sgm_V,
+        blur_sigma=args.blur_sigma,
+        blur_threshold=args.blur_threshold,
+        sgm_paper_mode=args.sgm_paper_mode,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    params = load_any(args.resume)
+    pipeline = MatchPipeline(
+        params, config,
+        cost_volume_method=args.cost_volume_method,
+        bucket=args.bucket,
+    )
+    logger = MetricsLogger(None)
+
+    with open(args.list_file) as f:
+        scene_paths = [line.strip() for line in f if line.strip()]
+
+    for index, left_path in enumerate(scene_paths):
+        if index < args.start or index > args.end:
+            continue
+        paths = derive_scene_paths(left_path, args.data_dir, args.save_dir, args.tag)
+        ensure_dirs(paths)
+        height, width, ndisp = parse_calib(paths.calib)
+        logger.log(event="scene", index=index, left=paths.left,
+                   height=height, width=width, ndisp=ndisp)
+
+        left_image = standardize_image(load_grayscale(paths.left))
+        right_image = standardize_image(load_grayscale(paths.right))
+        if left_image.shape != (height, width):
+            raise ValueError(
+                f"{paths.left}: image shape {left_image.shape} != calib "
+                f"({height}, {width})"
+            )
+
+        start_time = time.time()
+        disparity = pipeline(left_image, right_image, ndisp)
+        elapsed = time.time() - start_time
+
+        save_disparity_pgm(disparity, paths.out_pgm)
+        write_pfm(disparity, paths.out_pfm)
+        save_time_file(elapsed, paths.out_time)
+        logger.log(event="done", index=index, seconds=elapsed,
+                   mpix_per_s=height * width / 1e6 / elapsed)
+
+
+if __name__ == "__main__":
+    main()

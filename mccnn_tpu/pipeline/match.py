@@ -1,0 +1,160 @@
+"""The full matching pipeline as a single device-resident jitted program.
+
+Pipeline stages (reference: src/match.py:131-176): features -> cost volume
+-> CBCA (iters_1) -> SGM -> CBCA (iters_2) -> WTA -> LR-consistency
+interpolation -> subpixel -> 5x5 median -> 5x5 bilateral.
+
+Where the reference round-trips every stage through host NumPy (and builds a
+fresh TF graph + session per image, reference: src/process_functional.py:28-43),
+this pipeline is traced once per (H, W, ndisp) shape bucket and runs
+entirely on device; the only host<->device transfers are the two input
+images in and one disparity map out.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mccnn_tpu.models.net import Params, extract_features
+from mccnn_tpu.ops.cbca import cbca, compute_arms
+from mccnn_tpu.ops.cost_volume import cost_volume_pair
+from mccnn_tpu.ops.filters import bilateral_filter, median_filter
+from mccnn_tpu.ops.lr_check import lr_consistency_interpolate
+from mccnn_tpu.ops.sgm import sgm
+from mccnn_tpu.ops.subpixel import subpixel_enhance
+from mccnn_tpu.ops.wta import wta_disparity
+from mccnn_tpu.utils.config import MatchConfig
+
+
+def match_pair(
+    params: Params,
+    left_image: jax.Array,
+    right_image: jax.Array,
+    ndisp: int,
+    config: MatchConfig = MatchConfig(),
+    cost_volume_method: str = "matmul",
+    constrain=None,
+) -> jax.Array:
+    """(H, W) standardized image pair -> (H, W) float32 disparity map.
+
+    Pure function of its inputs; ``ndisp``, ``config`` and
+    ``cost_volume_method`` must be static under jit. ``constrain``, if
+    given, is applied to each (H, W, D) volume between stages — the hook
+    mccnn_tpu.parallel.match uses to pin a mesh sharding on the volumes.
+    """
+    if constrain is None:
+        constrain = lambda v: v  # noqa: E731
+    features_left = extract_features(params, left_image)
+    features_right = extract_features(params, right_image)
+
+    left_volume, right_volume = cost_volume_pair(
+        features_left, features_right, ndisp, method=cost_volume_method
+    )
+    left_volume = constrain(left_volume)
+    right_volume = constrain(right_volume)
+
+    arms_left = compute_arms(
+        left_image, config.cbca_intensity, int(config.cbca_distance)
+    )
+    arms_right = compute_arms(
+        right_image, config.cbca_intensity, int(config.cbca_distance)
+    )
+
+    left_volume = constrain(cbca(left_volume, arms_left, config.cbca_num_iterations_1))
+    right_volume = constrain(
+        cbca(right_volume, arms_right, config.cbca_num_iterations_1)
+    )
+
+    left_volume, right_volume = sgm(
+        left_volume, right_volume, left_image, right_image, ndisp, config
+    )
+    left_volume = constrain(left_volume)
+    right_volume = constrain(right_volume)
+
+    left_volume = cbca(left_volume, arms_left, config.cbca_num_iterations_2)
+    right_volume = cbca(right_volume, arms_right, config.cbca_num_iterations_2)
+    left_volume = constrain(left_volume)
+    right_volume = constrain(right_volume)
+
+    left_disparity = wta_disparity(left_volume)
+    right_disparity = wta_disparity(right_volume)
+
+    disparity = lr_consistency_interpolate(left_disparity, right_disparity, ndisp)
+    disparity = subpixel_enhance(disparity, left_volume, ndisp)
+    disparity = median_filter(
+        disparity, config.median_filter_size, config.median_filter_size
+    )
+    disparity = bilateral_filter(
+        left_image,
+        disparity,
+        config.bilateral_filter_size,
+        config.bilateral_filter_size,
+        0.0,
+        config.blur_sigma,
+        config.blur_threshold,
+    )
+    return disparity
+
+
+def standardize_image(image: np.ndarray) -> np.ndarray:
+    """(x - mean) / std over the whole image (reference: src/match.py:120-121)."""
+    image = image.astype(np.float32)
+    return (image - image.mean()) / image.std()
+
+
+class MatchPipeline:
+    """Host-facing wrapper: caches one compiled program per shape bucket.
+
+    Per-image (H, W, ndisp) vary across a dataset; recompiling per image
+    would reintroduce the reference's per-image graph-rebuild cost in
+    XLA form. Images are padded up to (H, W) buckets (multiples of
+    ``bucket``) and ndisp to a lane multiple; outputs are cropped back.
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        config: MatchConfig = MatchConfig(),
+        cost_volume_method: str = "matmul",
+        bucket: int = 64,
+        donate: bool = True,
+    ):
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.config = config
+        self.cost_volume_method = cost_volume_method
+        self.bucket = bucket
+        self._compiled: Dict[Tuple[int, int, int], object] = {}
+
+    def _get_fn(self, height: int, width: int, ndisp: int):
+        key = (height, width, ndisp)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                lambda p, l, r: match_pair(
+                    p, l, r, ndisp, self.config, self.cost_volume_method
+                )
+            )
+        return self._compiled[key]
+
+    def _bucketed(self, size: int) -> int:
+        return -(-size // self.bucket) * self.bucket
+
+    def __call__(self, left_image: np.ndarray, right_image: np.ndarray,
+                 ndisp: int) -> np.ndarray:
+        """Standardized (H, W) pair -> (H, W) disparity (host arrays)."""
+        height, width = left_image.shape
+        pad_h = self._bucketed(height) - height
+        pad_w = self._bucketed(width) - width
+        if pad_h or pad_w:
+            # edge-replicate padding keeps CBCA arms/SGM penalties sane at
+            # the seam; the padded band is cropped from the output
+            left = np.pad(left_image, ((0, pad_h), (0, pad_w)), mode="edge")
+            right = np.pad(right_image, ((0, pad_h), (0, pad_w)), mode="edge")
+        else:
+            left, right = left_image, right_image
+        fn = self._get_fn(left.shape[0], left.shape[1], ndisp)
+        out = fn(self.params, jnp.asarray(left), jnp.asarray(right))
+        return np.asarray(out)[:height, :width]

@@ -1,0 +1,88 @@
+"""Training checkpoints: params + optimizer state + epoch, resumable.
+
+Replaces the reference's dual TF-Saver/npy-dict mechanisms
+(reference: src/train.py:129,176-180 and src/model.py:67-85) with a single
+flat-npz pytree snapshot, keeping the same contracts: periodic saves named
+by epoch, ``max_to_keep`` retention, and restore-to-resume (including
+momentum slots, which the TF checkpoints also carried).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+_CKPT_RE = re.compile(r"model_epoch(\d+)\.npz$")
+
+
+def checkpoint_path(directory: str, epoch: int) -> str:
+    return os.path.join(directory, f"model_epoch{epoch}.npz")
+
+
+def save_checkpoint(
+    directory: str,
+    epoch: int,
+    params: Any,
+    opt_state: Any = None,
+    max_to_keep: int = 10,
+) -> str:
+    """Snapshot the (params, opt_state) pytrees; prune old checkpoints."""
+    os.makedirs(directory, exist_ok=True)
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    leaves, _ = jax.tree.flatten(state)
+    payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    payload["num_leaves"] = np.asarray(len(leaves))
+    path = checkpoint_path(directory, epoch)
+    np.savez(path, **payload)
+    _prune(directory, max_to_keep)
+    return path
+
+
+def _prune(directory: str, max_to_keep: int) -> None:
+    found: List[Tuple[int, str]] = []
+    for name in os.listdir(directory):
+        match = _CKPT_RE.match(name)
+        if match:
+            found.append((int(match.group(1)), os.path.join(directory, name)))
+    found.sort()
+    for _, path in found[:-max_to_keep] if max_to_keep > 0 else []:
+        os.remove(path)
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    best: Optional[Tuple[int, str]] = None
+    if not os.path.isdir(directory):
+        return None
+    for name in os.listdir(directory):
+        match = _CKPT_RE.match(name)
+        if match:
+            entry = (int(match.group(1)), os.path.join(directory, name))
+            if best is None or entry[0] > best[0]:
+                best = entry
+    return best[1] if best else None
+
+
+def epoch_of(path: str) -> int:
+    match = _CKPT_RE.search(os.path.basename(path))
+    if not match:
+        raise ValueError(f"not a checkpoint path: {path}")
+    return int(match.group(1))
+
+
+def load_checkpoint(path: str, like: Any) -> Any:
+    """Restore a pytree snapshot into the structure of ``like``."""
+    leaves, treedef = jax.tree.flatten(like)
+    with np.load(path) as data:
+        restored = [np.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    for old, new in zip(leaves, restored):
+        if np.shape(old) != np.shape(new):
+            raise ValueError(
+                f"checkpoint leaf shape {np.shape(new)} != expected {np.shape(old)}"
+            )
+    return jax.tree.unflatten(treedef, restored)

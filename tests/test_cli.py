@@ -1,0 +1,123 @@
+"""End-to-end CLI contract tests on tiny synthetic Middlebury scenes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mccnn_tpu.io.pfm import read_pfm, write_pfm
+from mccnn_tpu.models import init_params, save_params
+
+
+def _write_scene(scene_dir, rng, height=24, width=40, ndisp=6):
+    from PIL import Image
+
+    scene_dir.mkdir(parents=True)
+    base = (rng.random((height, width)) * 255).astype(np.uint8)
+    shifted = np.roll(base, -3, axis=1)
+    Image.fromarray(base, mode="L").save(scene_dir / "im0.png")
+    Image.fromarray(shifted, mode="L").save(scene_dir / "im1.png")
+    gt = np.full((height, width), 3.0, dtype=np.float32)
+    write_pfm(gt, str(scene_dir / "disp0GT.pfm"))
+    (scene_dir / "calib.txt").write_text(
+        "cam0=[1 0 0]\ncam1=[1 0 0]\ndoffs=0\nbaseline=100\n"
+        f"width={width}\nheight={height}\nndisp={ndisp}\n"
+    )
+
+
+def test_match_cli_end_to_end(tmp_path, rng):
+    import jax
+
+    from mccnn_tpu.cli.match import main
+
+    data_dir = tmp_path / "data"
+    for name in ("sceneA", "sceneB"):
+        _write_scene(data_dir / name, rng)
+    list_file = tmp_path / "list.txt"
+    list_file.write_text(
+        f"{data_dir}/sceneA/im0.png\n{data_dir}/sceneB/im0.png\n"
+    )
+    weights = tmp_path / "weights.npz"
+    save_params(init_params(jax.random.key(0)), str(weights))
+    save_dir = tmp_path / "out"
+
+    main([
+        "--list_file", str(list_file),
+        "--resume", str(weights),
+        "--data_dir", str(data_dir),
+        "--save_dir", str(save_dir),
+        "--tag", "t0",
+        "--start", "0",
+        "--end", "0",  # only sceneA: --start/--end slicing contract
+        "--cbca_distance", "3",
+        "--cbca_num_iterations1", "1",
+        "--cbca_num_iterations2", "1",
+        "--bucket", "8",
+    ])
+
+    res_dir = save_dir / "submit_t0" / "sceneA"
+    img_dir = save_dir / "submit_t0_imgs" / "sceneA"
+    assert (res_dir / "disp0MCCNN.pfm").exists()
+    assert (res_dir / "timeMCCNN.txt").exists()
+    assert (img_dir / "disp0MCCNN.pgm").exists()
+    assert not (save_dir / "submit_t0" / "sceneB").exists()
+
+    disparity = read_pfm(str(res_dir / "disp0MCCNN.pfm"))
+    assert disparity.shape == (24, 40)
+    assert np.isfinite(disparity).all()
+    assert float((res_dir / "timeMCCNN.txt").read_text()) > 0
+
+
+def test_train_cli_end_to_end(tmp_path, rng):
+    from mccnn_tpu.cli.train import main
+
+    data_dir = tmp_path / "data"
+    for name in ("s0", "s1"):
+        _write_scene(data_dir / name, rng, height=32, width=40)
+    for split in ("train", "val"):
+        (tmp_path / f"{split}.txt").write_text(
+            f"{data_dir}/s0/im0.png\n{data_dir}/s1/im0.png\n"
+        )
+    ckpt_dir = tmp_path / "ckpt"
+    metrics_dir = tmp_path / "tb"
+
+    main([
+        "--list_dir", str(tmp_path),
+        "--tensorboard_dir", str(metrics_dir),
+        "--checkpoint_dir", str(ckpt_dir),
+        "--batch_size", "16",
+        "--end_epoch", "2",
+        "--print_freq", "1",
+    ])
+
+    assert (ckpt_dir / "model_epoch1.npz").exists()
+    assert (ckpt_dir / "model_epoch2.npz").exists()
+    records = [
+        json.loads(line)
+        for line in (metrics_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    events = {r["event"] for r in records}
+    assert {"start", "train", "checkpoint", "val"} <= events
+
+
+def test_train_cli_resume(tmp_path, rng):
+    from mccnn_tpu.cli.train import main
+
+    data_dir = tmp_path / "data"
+    _write_scene(data_dir / "s0", rng, height=32, width=40)
+    for split in ("train", "val"):
+        (tmp_path / f"{split}.txt").write_text(f"{data_dir}/s0/im0.png\n")
+    ckpt_dir = tmp_path / "ckpt"
+
+    common = [
+        "--list_dir", str(tmp_path),
+        "--tensorboard_dir", str(tmp_path / "tb"),
+        "--checkpoint_dir", str(ckpt_dir),
+        "--batch_size", "8",
+        "--print_freq", "100",
+    ]
+    main(common + ["--end_epoch", "1"])
+    main(common + ["--end_epoch", "2",
+                   "--resume", str(ckpt_dir / "model_epoch1.npz")])
+    assert (ckpt_dir / "model_epoch2.npz").exists()

@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mccnn_tpu.models import init_params
+from mccnn_tpu.parallel import make_dp_train_step, make_mesh, make_sharded_match, shard_batch
+from mccnn_tpu.pipeline.match import match_pair
+from mccnn_tpu.pipeline.train import make_optimizer, make_train_step
+from mccnn_tpu.utils.config import MatchConfig, TrainConfig
+
+TRAIN_CFG = TrainConfig(batch_size=16, learning_rate=0.01)
+MATCH_CFG = MatchConfig(
+    cbca_intensity=0.4, cbca_distance=3,
+    cbca_num_iterations_1=1, cbca_num_iterations_2=1, sgm_d=0.4,
+)
+
+
+def test_mesh_uses_all_fake_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_train_step_matches_single_device(rng):
+    mesh = make_mesh(8)
+    params = init_params(jax.random.key(0))
+    optimizer = make_optimizer(TRAIN_CFG)
+    opt_state = optimizer.init(params)
+    batch = tuple(
+        jnp.asarray(rng.normal(size=(16, 11, 11, 1)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    single = make_train_step(TRAIN_CFG, optimizer)
+    p_single, _, loss_single = single(params, opt_state, batch)
+
+    dp = make_dp_train_step(TRAIN_CFG, mesh)
+    sharded = shard_batch(batch, mesh)
+    p_dp, _, loss_dp = dp(params, opt_state, sharded)
+
+    np.testing.assert_allclose(float(loss_dp), float(loss_single), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_match_matches_unsharded(rng):
+    mesh = make_mesh(4)
+    params = init_params(jax.random.key(1))
+    height, width, ndisp = 16, 24, 4
+    left = rng.normal(size=(height, width)).astype(np.float32)
+    right = rng.normal(size=(height, width)).astype(np.float32)
+
+    plain = np.asarray(
+        match_pair(params, jnp.asarray(left), jnp.asarray(right), ndisp, MATCH_CFG)
+    )
+    sharded_fn = make_sharded_match(ndisp, MATCH_CFG, mesh)
+    sharded = np.asarray(sharded_fn(params, jnp.asarray(left), jnp.asarray(right)))
+
+    close = np.isclose(plain, sharded, atol=1e-3)
+    assert close.mean() > 0.98, f"only {close.mean():.2%} pixels agree"

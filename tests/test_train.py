@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mccnn_tpu.models import init_params
+from mccnn_tpu.pipeline.train import (
+    hinge_loss,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from mccnn_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from mccnn_tpu.utils.config import TrainConfig
+
+CFG = TrainConfig(batch_size=8, learning_rate=0.01, beta=0.9, margin=0.2)
+
+
+def _batch(rng, n=8):
+    return tuple(
+        jnp.asarray(rng.normal(size=(n, 11, 11, 1)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+def test_momentum_update_matches_tf_semantics(rng):
+    """TF MomentumOptimizer: acc = beta*acc + g; w -= lr*acc."""
+    params = init_params(jax.random.key(0))
+    optimizer = make_optimizer(CFG)
+    opt_state = optimizer.init(params)
+    step = make_train_step(CFG, optimizer)
+
+    batch1, batch2 = _batch(rng), _batch(rng)
+    g1 = jax.grad(hinge_loss)(params, batch1, CFG.margin)
+    p1, opt_state, _ = step(params, opt_state, batch1)
+    expected1 = jax.tree.map(lambda w, g: w - CFG.learning_rate * g, params, g1)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(expected1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    g2 = jax.grad(hinge_loss)(p1, batch2, CFG.margin)
+    p2, opt_state, _ = step(p1, opt_state, batch2)
+    expected2 = jax.tree.map(
+        lambda w, a, b: w - CFG.learning_rate * (CFG.beta * a + b), p1, g1, g2
+    )
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(expected2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_loss_decreases(rng):
+    params = init_params(jax.random.key(2))
+    optimizer = make_optimizer(CFG)
+    opt_state = optimizer.init(params)
+    step = make_train_step(CFG, optimizer)
+    batch = _batch(rng, n=16)
+
+    first = None
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, batch)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+
+
+def test_eval_step_matches_loss(rng):
+    params = init_params(jax.random.key(0))
+    batch = _batch(rng)
+    eval_step = make_eval_step(CFG)
+    np.testing.assert_allclose(
+        float(eval_step(params, batch)),
+        float(hinge_loss(params, batch, CFG.margin)),
+        rtol=1e-6,
+    )
+
+
+def test_checkpoint_round_trip(tmp_path, rng):
+    params = init_params(jax.random.key(0))
+    optimizer = make_optimizer(CFG)
+    opt_state = optimizer.init(params)
+    step = make_train_step(CFG, optimizer)
+    params, opt_state, _ = step(params, opt_state, _batch(rng))
+
+    directory = str(tmp_path / "ckpt")
+    save_checkpoint(directory, 3, params, opt_state)
+    assert latest_checkpoint(directory).endswith("model_epoch3.npz")
+
+    template = {"params": init_params(jax.random.key(9)),
+                "opt_state": optimizer.init(init_params(jax.random.key(9)))}
+    restored = load_checkpoint(latest_checkpoint(directory), template)
+    for a, b in zip(jax.tree.leaves(restored["params"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored["opt_state"]), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_pruning(tmp_path):
+    params = {"conv1": {"w": np.zeros(3), "b": np.zeros(1)}}
+    directory = str(tmp_path / "ckpt")
+    for epoch in range(1, 6):
+        save_checkpoint(directory, epoch, params, max_to_keep=3)
+    import os
+
+    kept = sorted(f for f in os.listdir(directory) if f.endswith(".npz"))
+    assert kept == ["model_epoch3.npz", "model_epoch4.npz", "model_epoch5.npz"]
