@@ -45,23 +45,30 @@ def main() -> None:
     right = jnp.asarray((shifted - shifted.mean()) / shifted.std())
 
     fn = jax.jit(lambda p, l, r: match_pair(p, l, r, NDISP, config))
+    # block_until_ready can be a no-op on tunneled platforms; a scalar
+    # reduction fetched to host is the reliable sync
+    sync = jax.jit(lambda d: jnp.sum(d))
 
     t0 = time.time()
     out = fn(params, left, right)
-    out.block_until_ready()
+    checksum = float(np.asarray(sync(out)))
     compile_and_first = time.time() - t0
-    print(f"first call (incl. compile): {compile_and_first:.2f}s",
-          file=sys.stderr)
+    print(f"first call (incl. compile): {compile_and_first:.2f}s "
+          f"(checksum {checksum:.1f})", file=sys.stderr)
 
-    times = []
-    for _ in range(3):
+    def timed(iters: int) -> float:
         t0 = time.time()
-        fn(params, left, right).block_until_ready()
-        times.append(time.time() - t0)
-    best = min(times)
+        out = None
+        for _ in range(iters):
+            out = fn(params, left, right)
+        np.asarray(sync(out))  # device queue is in-order: syncs all iters
+        return (time.time() - t0) / iters
+
+    timed(1)  # warm the dispatch path
+    best = min(timed(3) for _ in range(3))
     mpix_per_s = HEIGHT * WIDTH / 1e6 / best
-    print(f"steady-state: {best:.3f}s per pair ({mpix_per_s:.2f} MP/s), "
-          f"runs: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+    print(f"steady-state: {best:.3f}s per pair ({mpix_per_s:.2f} MP/s)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "halfres_full_pipeline_megapixels_per_s",
