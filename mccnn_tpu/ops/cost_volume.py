@@ -63,22 +63,36 @@ def cost_volume_pair(
     if d_pad is None:
         d_pad = pad_disparities(ndisp)
 
-    if method == "matmul":
-        scores_left = _left_scores_matmul(
-            features_left, features_right, d_pad, row_chunk
-        )
-    elif method == "rolldot":
-        scores_left = _left_scores_rolldot(features_left, features_right, d_pad)
-    else:
-        raise ValueError(f"unknown cost-volume method: {method}")
-
-    # zero out both the w < d band and the disparity padding before the fills
     wgrid = column_iota(width)
     dgrid = disparity_iota(d_pad)
-    valid = (wgrid >= dgrid) & (dgrid < ndisp)
-    scores_left = jnp.where(valid, scores_left, 0.0)
 
-    scores_right = _right_from_left(scores_left, ndisp)
+    if method == "pallas":
+        from mccnn_tpu.ops.cost_volume_pallas import band_pair_pallas
+
+        scores_left, scores_right = band_pair_pallas(
+            features_left, features_right, d_pad
+        )
+        # the kernel's zero padding already zeroes out-of-range entries;
+        # zero the disparity-pad lanes for parity with the masked paths
+        pad_lanes = dgrid < ndisp
+        scores_left = jnp.where(pad_lanes, scores_left, 0.0)
+        scores_right = jnp.where(pad_lanes, scores_right, 0.0)
+    else:
+        if method == "matmul":
+            scores_left = _left_scores_matmul(
+                features_left, features_right, d_pad, row_chunk
+            )
+        elif method == "rolldot":
+            scores_left = _left_scores_rolldot(
+                features_left, features_right, d_pad
+            )
+        else:
+            raise ValueError(f"unknown cost-volume method: {method}")
+
+        # zero the w < d band and the disparity padding before the fills
+        valid = (wgrid >= dgrid) & (dgrid < ndisp)
+        scores_left = jnp.where(valid, scores_left, 0.0)
+        scores_right = _right_from_left(scores_left, ndisp)
 
     scores_left = _border_fill_left(scores_left, ndisp)
     scores_right = _border_fill_right(scores_right, ndisp)
@@ -175,27 +189,27 @@ def _border_fill_left(scores: jax.Array, ndisp: int) -> jax.Array:
     Sequentially for d = ndisp-1 .. 1: column d-1 gets, for disparities
     >= d, the mean of columns d..d+2 (clipped at the image edge) — columns
     that may themselves have been filled by earlier steps
-    (reference: src/process_functional.py:94-95).
+    (reference: src/process_functional.py:94-95). The scan carries a
+    once-padded volume so each step touches only a 3-column slice (padding
+    inside the scan body would copy the whole volume every step).
     """
+    if ndisp < 2:
+        return scores
     height, width, d_pad = scores.shape
     dgrid = disparity_iota(d_pad)[0]  # (1, D)
+    padded = jnp.pad(scores, ((0, 0), (0, 2), (0, 0)))
 
     def step(volume, d):
-        padded = jnp.pad(volume, ((0, 0), (0, 2), (0, 0)))
-        cols = lax.dynamic_slice(
-            padded, (0, d, 0), (height, 3, d_pad)
-        )
+        cols = lax.dynamic_slice(volume, (0, d, 0), (height, 3, d_pad))
         valid = d + jnp.arange(3, dtype=jnp.int32) < width
         mean = _masked_mean3(cols, valid)
         old = lax.dynamic_index_in_dim(volume, d - 1, axis=1, keepdims=False)
         new_col = jnp.where(dgrid >= d, mean, old)
         return lax.dynamic_update_index_in_dim(volume, new_col, d - 1, axis=1), None
 
-    if ndisp < 2:
-        return scores
     steps = jnp.arange(ndisp - 1, 0, -1, dtype=jnp.int32)
-    volume, _ = lax.scan(step, scores, steps)
-    return volume
+    volume, _ = lax.scan(step, padded, steps)
+    return volume[:, :width, :]
 
 
 def _border_fill_right(scores: jax.Array, ndisp: int) -> jax.Array:
@@ -205,26 +219,26 @@ def _border_fill_right(scores: jax.Array, ndisp: int) -> jax.Array:
     >= d, the mean of columns W-d-3..W-d-1
     (reference: src/process_functional.py:105-106).
     """
+    if ndisp < 2:
+        return scores
     height, width, d_pad = scores.shape
     dgrid = disparity_iota(d_pad)[0]  # (1, D)
+    padded = jnp.pad(scores, ((0, 0), (3, 0), (0, 0)))
 
     def step(volume, d):
-        padded = jnp.pad(volume, ((0, 0), (3, 0), (0, 0)))
-        # slice start (width - d - 3) in unpadded coords -> (width - d) padded
-        cols = lax.dynamic_slice(
-            padded, (0, width - d, 0), (height, 3, d_pad)
-        )
+        # unpadded column (width - d - 3) sits at padded index (width - d)
+        cols = lax.dynamic_slice(volume, (0, width - d, 0), (height, 3, d_pad))
         valid = width - d - 3 + jnp.arange(3, dtype=jnp.int32) >= 0
         mean = _masked_mean3(cols, valid)
-        old = lax.dynamic_index_in_dim(volume, width - d, axis=1, keepdims=False)
+        old = lax.dynamic_index_in_dim(
+            volume, width - d + 3, axis=1, keepdims=False
+        )
         new_col = jnp.where(dgrid >= d, mean, old)
         return (
-            lax.dynamic_update_index_in_dim(volume, new_col, width - d, axis=1),
+            lax.dynamic_update_index_in_dim(volume, new_col, width - d + 3, axis=1),
             None,
         )
 
-    if ndisp < 2:
-        return scores
     steps = jnp.arange(ndisp - 1, 0, -1, dtype=jnp.int32)
-    volume, _ = lax.scan(step, scores, steps)
-    return volume
+    volume, _ = lax.scan(step, padded, steps)
+    return volume[:, 3:, :]

@@ -103,18 +103,10 @@ def _directional_sweep(
     small_d1, small_d2 = _penalty_bits(
         left_image, right_image, choice, direction, volume.shape[2], config.sgm_d
     )
-
-    if vertical:
-        # reuse the along-axis-1 sweep by swapping H and W
-        volume = volume.transpose(1, 0, 2)
-        small_d1 = small_d1.T
-        small_d2 = small_d2.transpose(1, 0, 2)
-        out = _sweep_along_w(
-            volume, small_d1, small_d2, p1_base, p2_base, config, forward=(rh == 1)
-        )
-        return out.transpose(1, 0, 2)
-    return _sweep_along_w(
-        volume, small_d1, small_d2, p1_base, p2_base, config, forward=(rw == 1)
+    axis = 0 if vertical else 1
+    forward = (rh == 1) if vertical else (rw == 1)
+    return _sweep(
+        volume, small_d1, small_d2, p1_base, p2_base, config, axis, forward
     )
 
 
@@ -158,26 +150,33 @@ def _penalty_bits(
     return small_d1, small_d2
 
 
-def _sweep_along_w(
+def _sweep(
     volume: jax.Array,
     small_d1: jax.Array,
     small_d2: jax.Array,
     p1_base: float,
     p2_base: float,
     config: MatchConfig,
+    axis: int,
     forward: bool,
 ) -> jax.Array:
-    """One DP sweep along axis 1. The first column in sweep order is kept."""
-    height, width, d_pad = volume.shape
+    """One DP sweep along ``axis`` (0 = vertical, 1 = horizontal).
+
+    The first line in sweep order is kept. The scan carries the whole
+    volume and updates one (perpendicular, D) line per step in place; both
+    axes sweep natively — no transposes.
+    """
+    size = volume.shape[axis]
+    perp = volume.shape[1 - axis]
     inv_q1 = 1.0 / config.sgm_q1
     inv_q2 = 1.0 / config.sgm_q2
 
-    def step(vol, w):
-        prev_w = w - 1 if forward else w + 1
-        prev = lax.dynamic_index_in_dim(vol, prev_w, axis=1, keepdims=False)
-        cur = lax.dynamic_index_in_dim(vol, w, axis=1, keepdims=False)
-        b1 = lax.dynamic_index_in_dim(small_d1, w, axis=1, keepdims=False)
-        b2 = lax.dynamic_index_in_dim(small_d2, w, axis=1, keepdims=False)
+    def step(vol, i):
+        prev_i = i - 1 if forward else i + 1
+        prev = lax.dynamic_index_in_dim(vol, prev_i, axis=axis, keepdims=False)
+        cur = lax.dynamic_index_in_dim(vol, i, axis=axis, keepdims=False)
+        b1 = lax.dynamic_index_in_dim(small_d1, i, axis=axis, keepdims=False)
+        b2 = lax.dynamic_index_in_dim(small_d2, i, axis=axis, keepdims=False)
 
         scale = jnp.where(
             b1[:, None] & b2,
@@ -188,7 +187,7 @@ def _sweep_along_w(
         p2 = p2_base * scale
 
         min_prev = jnp.min(prev, axis=1, keepdims=True)
-        big = jnp.full((height, 1), BIG_COST, dtype=vol.dtype)
+        big = jnp.full((perp, 1), BIG_COST, dtype=vol.dtype)
         from_below = jnp.concatenate([big, prev[:, :-1]], axis=1)  # L(d-1)
         from_above = jnp.concatenate([prev[:, 1:], big], axis=1)  # L(d+1)
         candidate = jnp.minimum(
@@ -196,11 +195,11 @@ def _sweep_along_w(
             jnp.minimum(from_above + p1, min_prev + p2),
         )
         new_line = cur + candidate - min_prev
-        return lax.dynamic_update_index_in_dim(vol, new_line, w, axis=1), None
+        return lax.dynamic_update_index_in_dim(vol, new_line, i, axis=axis), None
 
     if forward:
-        steps = jnp.arange(1, width, dtype=jnp.int32)
+        steps = jnp.arange(1, size, dtype=jnp.int32)
     else:
-        steps = jnp.arange(width - 2, -1, -1, dtype=jnp.int32)
+        steps = jnp.arange(size - 2, -1, -1, dtype=jnp.int32)
     out, _ = lax.scan(step, volume, steps)
     return out

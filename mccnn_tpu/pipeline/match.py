@@ -64,9 +64,12 @@ def match_pair(
         right_image, config.cbca_intensity, int(config.cbca_distance)
     )
 
-    left_volume = constrain(cbca(left_volume, arms_left, config.cbca_num_iterations_1))
+    distance = int(config.cbca_distance)
+    left_volume = constrain(
+        cbca(left_volume, arms_left, config.cbca_num_iterations_1, distance)
+    )
     right_volume = constrain(
-        cbca(right_volume, arms_right, config.cbca_num_iterations_1)
+        cbca(right_volume, arms_right, config.cbca_num_iterations_1, distance)
     )
 
     left_volume, right_volume = sgm(
@@ -75,8 +78,8 @@ def match_pair(
     left_volume = constrain(left_volume)
     right_volume = constrain(right_volume)
 
-    left_volume = cbca(left_volume, arms_left, config.cbca_num_iterations_2)
-    right_volume = cbca(right_volume, arms_right, config.cbca_num_iterations_2)
+    left_volume = cbca(left_volume, arms_left, config.cbca_num_iterations_2, distance)
+    right_volume = cbca(right_volume, arms_right, config.cbca_num_iterations_2, distance)
     left_volume = constrain(left_volume)
     right_volume = constrain(right_volume)
 

@@ -1,0 +1,69 @@
+"""Pallas kernels vs the XLA reference paths (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mccnn_tpu.ops.cbca import cbca, compute_arms
+from mccnn_tpu.ops.cbca_pallas import cbca_pallas
+from mccnn_tpu.ops.common import BIG_COST
+from mccnn_tpu.ops.cost_volume import cost_volume_pair
+from mccnn_tpu.ops.cost_volume_pallas import band_pair_pallas
+
+
+def _unit_features(rng, height, width, channels=8):
+    f = rng.normal(size=(height, width, channels)).astype(np.float32)
+    return f / np.linalg.norm(f, axis=-1, keepdims=True)
+
+
+def test_band_pair_matches_direct_dots(rng):
+    height, width, d_pad = 6, 20, 8
+    fl = _unit_features(rng, height, width)
+    fr = _unit_features(rng, height, width)
+    left, right = band_pair_pallas(
+        jnp.asarray(fl), jnp.asarray(fr), d_pad,
+        tile_h=2, tile_w=8, tile_d=4, interpret=True,
+    )
+    left, right = np.asarray(left), np.asarray(right)
+    assert left.shape == (height, width, d_pad)
+    for w in range(width):
+        for d in range(d_pad):
+            exp_l = (
+                np.sum(fl[:, w] * fr[:, w - d], axis=-1) if w - d >= 0 else 0.0
+            )
+            np.testing.assert_allclose(left[:, w, d], exp_l, atol=1e-5)
+            exp_r = (
+                np.sum(fr[:, w] * fl[:, w + d], axis=-1)
+                if w + d < width else 0.0
+            )
+            np.testing.assert_allclose(right[:, w, d], exp_r, atol=1e-5)
+
+
+def test_cost_volume_pallas_method_matches_matmul(rng):
+    height, width, ndisp = 5, 24, 6
+    fl = jnp.asarray(_unit_features(rng, height, width))
+    fr = jnp.asarray(_unit_features(rng, height, width))
+    left_a, right_a = cost_volume_pair(fl, fr, ndisp, d_pad=8, method="matmul")
+    left_b, right_b = cost_volume_pair(fl, fr, ndisp, d_pad=8, method="pallas")
+    np.testing.assert_allclose(np.asarray(left_a), np.asarray(left_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(right_a), np.asarray(right_b), atol=1e-5)
+
+
+@pytest.mark.parametrize("iterations", [1, 2])
+def test_cbca_pallas_matches_xla(rng, iterations):
+    height, width, ndisp = 10, 12, 5
+    d_pad = 8
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    tau, dist = 0.8, 4
+
+    arms = compute_arms(jnp.asarray(image), tau, dist)
+    expected = cbca(jnp.asarray(volume), arms, iterations, dist)
+    ours = cbca_pallas(
+        jnp.asarray(volume), arms, iterations, dist,
+        tile_h=4, tile_w=8, tile_d=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(expected), rtol=1e-4, atol=1e-4
+    )
