@@ -65,8 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sgm_paper_mode", action="store_true",
                         help="independent-direction SGM average instead of the "
                              "reference's chained in-place sweeps")
-    parser.add_argument("--cost_volume_method", type=str, default="matmul",
-                        choices=["matmul", "rolldot"])
+    parser.add_argument("--cost_volume_method", type=str, default="auto",
+                        choices=["auto", "pallas", "matmul", "rolldot"])
+    parser.add_argument("--cbca_impl", type=str, default="auto",
+                        choices=["auto", "mxu", "pallas", "xla"])
     parser.add_argument("--bucket", type=int, default=64,
                         help="pad images to multiples of this to bound "
                              "recompilation across scene shapes")
@@ -100,6 +102,7 @@ def main(argv=None) -> None:
         params, config,
         cost_volume_method=args.cost_volume_method,
         bucket=args.bucket,
+        cbca_impl=args.cbca_impl,
     )
     logger = MetricsLogger(None)
 

@@ -36,16 +36,29 @@ def match_pair(
     right_image: jax.Array,
     ndisp: int,
     config: MatchConfig = MatchConfig(),
-    cost_volume_method: str = "matmul",
+    cost_volume_method: str = "auto",
     constrain=None,
+    cbca_impl: str = "auto",
 ) -> jax.Array:
     """(H, W) standardized image pair -> (H, W) float32 disparity map.
 
-    Pure function of its inputs; ``ndisp``, ``config`` and
-    ``cost_volume_method`` must be static under jit. ``constrain``, if
-    given, is applied to each (H, W, D) volume between stages — the hook
+    Pure function of its inputs; ``ndisp``, ``config``, the method
+    selectors must be static under jit. ``constrain``, if given, is
+    applied to each (H, W, D) volume between stages — the hook
     mccnn_tpu.parallel.match uses to pin a mesh sharding on the volumes.
+
+    "auto" methods pick the Pallas kernels on TPU (the gather-free band
+    kernel and the fused CBCA iteration kernel) and the pure-XLA paths on
+    other backends.
     """
+    on_tpu = jax.default_backend() == "tpu"
+    if cost_volume_method == "auto":
+        cost_volume_method = "pallas" if on_tpu else "matmul"
+    if cbca_impl == "auto":
+        # banded-0/1-matmul aggregation rides the MXU (~6x the stencil);
+        # it quantizes the volume to bf16 once per stage — use
+        # cbca_impl="pallas"/"xla" for exact f32 parity
+        cbca_impl = "mxu" if on_tpu else "xla"
     if constrain is None:
         constrain = lambda v: v  # noqa: E731
     features_left = extract_features(params, left_image)
@@ -65,11 +78,18 @@ def match_pair(
     )
 
     distance = int(config.cbca_distance)
+    if cbca_impl == "pallas":
+        from mccnn_tpu.ops.cbca_pallas import cbca_pallas as aggregate
+    elif cbca_impl == "mxu":
+        from mccnn_tpu.ops.cbca_mxu import cbca_mxu as aggregate
+    else:
+        aggregate = cbca
+
     left_volume = constrain(
-        cbca(left_volume, arms_left, config.cbca_num_iterations_1, distance)
+        aggregate(left_volume, arms_left, config.cbca_num_iterations_1, distance)
     )
     right_volume = constrain(
-        cbca(right_volume, arms_right, config.cbca_num_iterations_1, distance)
+        aggregate(right_volume, arms_right, config.cbca_num_iterations_1, distance)
     )
 
     left_volume, right_volume = sgm(
@@ -78,8 +98,12 @@ def match_pair(
     left_volume = constrain(left_volume)
     right_volume = constrain(right_volume)
 
-    left_volume = cbca(left_volume, arms_left, config.cbca_num_iterations_2, distance)
-    right_volume = cbca(right_volume, arms_right, config.cbca_num_iterations_2, distance)
+    left_volume = aggregate(
+        left_volume, arms_left, config.cbca_num_iterations_2, distance
+    )
+    right_volume = aggregate(
+        right_volume, arms_right, config.cbca_num_iterations_2, distance
+    )
     left_volume = constrain(left_volume)
     right_volume = constrain(right_volume)
 
@@ -122,13 +146,14 @@ class MatchPipeline:
         self,
         params: Params,
         config: MatchConfig = MatchConfig(),
-        cost_volume_method: str = "matmul",
+        cost_volume_method: str = "auto",
         bucket: int = 64,
-        donate: bool = True,
+        cbca_impl: str = "auto",
     ):
         self.params = jax.tree.map(jnp.asarray, params)
         self.config = config
         self.cost_volume_method = cost_volume_method
+        self.cbca_impl = cbca_impl
         self.bucket = bucket
         self._compiled: Dict[Tuple[int, int, int], object] = {}
 
@@ -137,7 +162,8 @@ class MatchPipeline:
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
                 lambda p, l, r: match_pair(
-                    p, l, r, ndisp, self.config, self.cost_volume_method
+                    p, l, r, ndisp, self.config, self.cost_volume_method,
+                    cbca_impl=self.cbca_impl,
                 )
             )
         return self._compiled[key]

@@ -67,3 +67,21 @@ def test_cbca_pallas_matches_xla(rng, iterations):
     np.testing.assert_allclose(
         np.asarray(ours), np.asarray(expected), rtol=1e-4, atol=1e-4
     )
+
+
+def test_cbca_mxu_matches_exact_within_bf16(rng):
+    from mccnn_tpu.ops.cbca_mxu import cbca_mxu
+
+    height, width, ndisp = 12, 16, 5
+    d_pad = 8
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 4)
+
+    exact = np.asarray(cbca(jnp.asarray(volume), arms, 2, 4))
+    fast = np.asarray(cbca_mxu(jnp.asarray(volume), arms, 2, 4))
+    # bf16 quantization of the volume per stage: ~0.4% relative per round
+    real = exact[:, :, :ndisp]
+    np.testing.assert_allclose(fast[:, :, :ndisp], real, rtol=0.05, atol=0.05)
+    assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
