@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bucket", type=int, default=64,
                         help="pad images to multiples of this to bound "
                              "recompilation across scene shapes")
+    parser.add_argument("--multihost", action="store_true",
+                        help="shard scenes across jax processes (strided by "
+                             "process_index) inside the --start/--end range")
     return parser
 
 
@@ -109,8 +112,16 @@ def main(argv=None) -> None:
     with open(args.list_file) as f:
         scene_paths = [line.strip() for line in f if line.strip()]
 
+    owned = None
+    if args.multihost:
+        from mccnn_tpu.parallel.multihost import process_slice
+
+        owned = set(process_slice(len(scene_paths)))
+
     for index, left_path in enumerate(scene_paths):
         if index < args.start or index > args.end:
+            continue
+        if owned is not None and index not in owned:
             continue
         paths = derive_scene_paths(left_path, args.data_dir, args.save_dir, args.tag)
         ensure_dirs(paths)

@@ -74,12 +74,15 @@ def classify(
     )
 
     # exists d in [0, min(w+1, ndisp)) with |d - dR(h, w-d)| <= 1 ?
-    disps = jnp.arange(ndisp, dtype=jnp.int32)
-    probe = cols[0][:, None] - disps[None, :]  # (W, ndisp)
-    gathered = jnp.take(right_disparity, jnp.clip(probe, 0, width - 1), axis=1)
-    agrees = jnp.abs(disps[None, None].astype(jnp.float32) - gathered) <= 1.0
-    in_range = (probe >= 0)[None]
-    mismatch = jnp.any(agrees & in_range, axis=-1)
+    # shift-scan over d instead of a (H, W, ndisp) banded gather
+    def probe_one(d, any_agree):
+        shifted = jnp.roll(right_disparity, d, axis=1)
+        agree = (jnp.abs(d.astype(jnp.float32) - shifted) <= 1.0) & (cols >= d)
+        return any_agree | agree
+
+    mismatch = lax.fori_loop(
+        0, ndisp, probe_one, jnp.zeros_like(left_disparity, dtype=bool)
+    )
 
     return jnp.where(
         no_correspondence,

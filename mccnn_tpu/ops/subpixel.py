@@ -30,9 +30,15 @@ def subpixel_enhance(
     idx_plus = (disparity + 1.0).astype(jnp.int32)
     keep = (idx_minus < 0) | (idx_plus >= ndisp)
 
+    # one-hot masked reductions instead of per-pixel gathers (TPU gathers
+    # are element-wise slow); one fused pass over the volume fetches all
+    # three fiber samples
+    lanes = jnp.arange(d_pad, dtype=jnp.int32)[None, None, :]
+
     def fetch(idx):
         safe = jnp.clip(idx, 0, d_pad - 1)
-        return jnp.take_along_axis(left_volume, safe[..., None], axis=-1)[..., 0]
+        onehot = lanes == safe[..., None]
+        return jnp.sum(jnp.where(onehot, left_volume, 0.0), axis=-1)
 
     c_minus = fetch(idx_minus)
     c_center = fetch(idx_center)

@@ -1,0 +1,81 @@
+"""Quantitative parity: bad-2.0 of our pipeline vs the oracle pipeline.
+
+BASELINE.md's correctness north-star is bad-2.0 within 0.5 pt of the
+reference pipeline; the oracle chain IS the reference's semantics, so we
+measure both against the synthetic ground truth and against each other.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mccnn_tpu.models import extract_features, init_params
+from mccnn_tpu.pipeline.match import match_pair
+from mccnn_tpu.utils.config import MatchConfig
+from mccnn_tpu.utils.evaluate import bad_n, evaluate_pair
+
+from test_pipeline import CFG, _oracle_pipeline
+
+
+def _textured_pair(rng, height=24, width=40, shift=3):
+    """A translated textured pair with known constant disparity."""
+    base = rng.normal(size=(height, width + shift)).astype(np.float32)
+    kernel = np.ones(3) / 3.0
+    base = np.apply_along_axis(
+        lambda r: np.convolve(r, kernel, mode="same"), 1, base
+    )
+    # left pixel (h, w) corresponds to right pixel (h, w - shift):
+    # left[w] = base[w] = right[w - shift]
+    left = base[:, :-shift] if shift else base
+    right = base[:, shift:] if shift else base
+    std = lambda x: ((x - x.mean()) / x.std()).astype(np.float32)  # noqa: E731
+    gt = np.full((height, width), float(shift), dtype=np.float32)
+    gt[:, :shift] = np.inf  # no correspondence at the left border
+    return std(left), std(right), gt
+
+
+def test_bad2_parity_with_oracle(rng):
+    params = init_params(jax.random.key(3))
+    left, right, gt = _textured_pair(rng)
+    ndisp = 8
+
+    ours = np.asarray(
+        match_pair(params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG)
+    )
+    oracle = _oracle_pipeline(params, left, right, ndisp, CFG)
+
+    ours_bad2 = bad_n(ours, gt, 2.0)
+    oracle_bad2 = bad_n(oracle, gt, 2.0)
+    assert abs(ours_bad2 - oracle_bad2) <= 0.005, (
+        f"bad-2.0 ours={ours_bad2:.4f} oracle={oracle_bad2:.4f}"
+    )
+    # and both pipelines should actually solve this easy scene
+    assert ours_bad2 < 0.25
+
+
+def test_mxu_cbca_mode_parity(rng):
+    """The fast (bf16 MXU) CBCA mode must stay within the parity budget."""
+    params = init_params(jax.random.key(3))
+    left, right, gt = _textured_pair(rng)
+    ndisp = 8
+
+    exact = np.asarray(
+        match_pair(params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+                   cbca_impl="xla")
+    )
+    fast = np.asarray(
+        match_pair(params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+                   cbca_impl="mxu")
+    )
+    assert abs(bad_n(fast, gt, 2.0) - bad_n(exact, gt, 2.0)) <= 0.005
+    # pixelwise: nearly all disparities unchanged
+    assert (np.abs(fast - exact) < 0.1).mean() > 0.97
+
+
+def test_evaluate_pair_metrics():
+    gt = np.array([[1.0, np.inf], [3.0, 5.0]], dtype=np.float32)
+    disp = np.array([[1.2, 9.0], [3.0, 0.0]], dtype=np.float32)
+    metrics = evaluate_pair(disp, gt)
+    assert metrics["coverage"] == 0.75
+    np.testing.assert_allclose(metrics["bad_2.0"], 1.0 / 3.0)
+    np.testing.assert_allclose(metrics["avg_err"], (0.2 + 0.0 + 5.0) / 3.0)
