@@ -1,20 +1,23 @@
-"""Pallas TPU kernel: both cost-volume score bands in one pass.
+"""Pallas TPU kernels: both cost-volume score bands in one pass.
 
-For an output tile (TH rows, TD disparities, TW columns) the kernel stages
+For an output tile (TH rows, TW columns, TD disparities) the kernels stage
 channel-major feature tiles plus (TW + TD)-wide context windows of the
-opposite image in VMEM and computes
+opposite image in VMEM and compute
 
-    left[h, d, w]  = <fL(h, w), fR(h, w - d)>
-    right[h, d, w] = <fR(h, w), fL(h, w + d)>
+    left[h, w, d]  = <fL(h, w), fR(h, w - d)>
+    right[h, w, d] = <fR(h, w), fL(h, w + d)>
 
-as TD shifted multiply-reduce passes. Layout choices that make this fast
-on TPU: W lives in the lane dimension (so the per-disparity shift is a
-lane-offset slice and the reduction is over the sublane-tiled channel
-axis), each disparity's (TH, TW) plane is stored with a sublane-indexed
-write (contiguous lanes), and the (H, D, W) outputs are transposed to the
-pipeline's (H, W, D) layout once, outside the kernel.
+Two implementations:
+  * MXU (default): per row, one (TW, C) x (C, TW+TD) correlation matmul on
+    the systolic array (f32 via HIGHEST precision), then the band is read
+    off the product's diagonals with a *log-skew* — log2(TW) masked
+    uniform lane rolls realize the per-row variable shift with vector ops
+    only (Mosaic has no gather/rev). Measured 82 ms for both half-res
+    bands, exact to ~1e-5 of the f32 VPU path.
+  * VPU (use_mxu=False): TD shifted multiply-reduce passes with W in the
+    lane dimension. Measured 234 ms; kept as the bitwise-f32 path.
 
-This replaces (a) the chunked (W, W) correlation matmul whose banded
+Either replaces (a) the XLA chunked (W, W) correlation whose banded
 ``take_along_axis`` extraction is a TPU gather (measured ~300 ms at
 half-res) and (b) the catastrophic right-volume gather (measured ~6.4 s).
 
@@ -102,6 +105,97 @@ def _band_kernel(
         out_r_ref[:, v, :] = jnp.sum(anchor_r * shifted_l, axis=1)
 
 
+def _skew_rows(matrix: jax.Array, num_rows: int) -> jax.Array:
+    """M'[u, k] = M[u, (k + u) mod L] via log-many conditional lane rolls.
+
+    Realizes the per-row variable shift (a diagonal extraction) as
+    log2(num_rows) masked uniform rolls — the trick that lets the band be
+    read out of an MXU product with vector ops only.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (matrix.shape[0], 1), 0)
+    lanes = matrix.shape[1]
+    bit = 1
+    while bit < num_rows:
+        # left-roll by `bit` == right-roll by (lanes - bit); pltpu.roll
+        # requires non-negative shifts
+        rolled = pltpu.roll(matrix, lanes - bit, axis=1)
+        matrix = jnp.where((rows & bit) != 0, rolled, matrix)
+        bit <<= 1
+    return matrix
+
+
+def _band_kernel_mxu(
+    fl_hbm,   # (Hp, C, Wpad) left features, channel-major, zero-padded W
+    fr_hbm,   # (Hp, C, Wpad)
+    out_l_ref,  # (TH, TW, TD)
+    out_r_ref,  # (TH, TW, TD)
+    fl_tile,    # scratch (TH, C, TW)
+    fr_tile,    # scratch (TH, C, TW)
+    fr_ctx,     # scratch (TH, C, TW + TD)
+    fl_ctx,     # scratch (TH, C, TW + TD)
+    sems,
+    *,
+    tile_h: int,
+    tile_w: int,
+    tile_d: int,
+    d_total: int,
+):
+    i = pl.program_id(0)
+    k = pl.program_id(1)  # disparity-tile index
+    j = pl.program_id(2)  # column-tile index
+    row0 = i * tile_h
+    anchor0 = pl.multiple_of(j * tile_w + d_total, 128)
+    left_ctx0 = pl.multiple_of(j * tile_w - k * tile_d + d_total - tile_d, 128)
+    right_ctx0 = pl.multiple_of(j * tile_w + k * tile_d + d_total, 128)
+
+    copies = [
+        pltpu.make_async_copy(
+            fl_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
+            fl_tile, sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            fr_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
+            fr_tile, sems.at[1],
+        ),
+        pltpu.make_async_copy(
+            fr_hbm.at[pl.ds(row0, tile_h), :, pl.ds(left_ctx0, tile_w + tile_d)],
+            fr_ctx, sems.at[2],
+        ),
+        pltpu.make_async_copy(
+            fl_hbm.at[pl.ds(row0, tile_h), :, pl.ds(right_ctx0, tile_w + tile_d)],
+            fl_ctx, sems.at[3],
+        ),
+    ]
+    for copy in copies:
+        copy.start()
+    for copy in copies:
+        copy.wait()
+
+    for h in range(tile_h):
+        # corr[u, t] = <anchor[u], ctx[t]> on the MXU (contract channels)
+        corr_l = jax.lax.dot_general(
+            fl_tile[h, :, :], fr_ctx[h, :, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TW, TW + TD)
+        corr_r = jax.lax.dot_general(
+            fr_tile[h, :, :], fl_ctx[h, :, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # left band: out[u, v] = corr_l[u, u + TD - v]. Mosaic has no rev
+        # op, so the tile is written disparity-REVERSED (out_l_ref[.., t-1]
+        # = corr_l[u, u+t]); the reversed tile index map plus one XLA-level
+        # flip of the d axis in the wrapper restores the order.
+        skewed_l = _skew_rows(corr_l, tile_w)
+        out_l_ref[h, :, :] = skewed_l[:, 1: tile_d + 1]
+        # right band: out[u, v] = corr_r[u, u + v]
+        skewed_r = _skew_rows(corr_r, tile_w)
+        out_r_ref[h, :, :] = skewed_r[:, :tile_d]
+
+
 def band_pair_pallas(
     features_left: jax.Array,
     features_right: jax.Array,
@@ -110,11 +204,14 @@ def band_pair_pallas(
     tile_w: int = 128,
     tile_d: int = 128,
     interpret: bool | None = None,
+    use_mxu: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """(H, W, C) feature pair -> raw (left, right) score bands (H, W, d_pad).
 
     Out-of-range entries are 0; no disparity-pad masking or border fills
-    (cost_volume.cost_volume_pair applies those).
+    (cost_volume.cost_volume_pair applies those). ``use_mxu`` selects the
+    matmul+log-skew kernel (default; the systolic array does the dots)
+    over the shifted multiply-reduce VPU kernel.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -135,15 +232,37 @@ def band_pair_pallas(
     fl = prep(features_left)
     fr = prep(features_right)
 
-    grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
-    kernel = functools.partial(
-        _band_kernel,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        tile_d=tile_d,
-        d_total=d_total,
-    )
-    out_shape = jax.ShapeDtypeStruct((hp, d_total, wp), features_left.dtype)
+    if use_mxu:
+        grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
+        num_d_tiles = d_total // tile_d
+        kernel = functools.partial(
+            _band_kernel_mxu,
+            tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
+        )
+        out_shape = jax.ShapeDtypeStruct((hp, wp, d_total),
+                                         features_left.dtype)
+        # left tiles are written disparity-reversed (see kernel); reversing
+        # the tile placement too makes the whole d axis reversed, undone by
+        # one flip below
+        out_l_spec = pl.BlockSpec((tile_h, tile_w, tile_d),
+                                  lambda i, k, j: (i, j, num_d_tiles - 1 - k),
+                                  memory_space=pltpu.VMEM)
+        out_r_spec = pl.BlockSpec((tile_h, tile_w, tile_d),
+                                  lambda i, k, j: (i, j, k),
+                                  memory_space=pltpu.VMEM)
+    else:
+        grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
+        kernel = functools.partial(
+            _band_kernel,
+            tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
+        )
+        out_shape = jax.ShapeDtypeStruct((hp, d_total, wp),
+                                         features_left.dtype)
+        out_l_spec = out_r_spec = pl.BlockSpec(
+            (tile_h, tile_d, tile_w), lambda i, k, j: (i, k, j),
+            memory_space=pltpu.VMEM,
+        )
+
     out_l, out_r = pl.pallas_call(
         kernel,
         grid=grid,
@@ -151,12 +270,7 @@ def band_pair_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((tile_h, tile_d, tile_w), lambda i, k, j: (i, k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_d, tile_w), lambda i, k, j: (i, k, j),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(out_l_spec, out_r_spec),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[
             pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
@@ -167,7 +281,10 @@ def band_pair_pallas(
         ],
         interpret=interpret,
     )(fl, fr)
-    # (H, D, W) -> the pipeline's (H, W, D)
+    if use_mxu:
+        out_l = jnp.flip(out_l, axis=2)  # undo the reversed left-band layout
+        return out_l[:height, :width, :d_pad], out_r[:height, :width, :d_pad]
+    # VPU kernel emits (H, D, W) -> the pipeline's (H, W, D)
     out_l = jnp.transpose(out_l, (0, 2, 1))[:height, :width, :d_pad]
     out_r = jnp.transpose(out_r, (0, 2, 1))[:height, :width, :d_pad]
     return out_l, out_r

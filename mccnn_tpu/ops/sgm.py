@@ -159,25 +159,23 @@ def _sweep(
     config: MatchConfig,
     axis: int,
     forward: bool,
+    chunk: int = 8,
 ) -> jax.Array:
     """One DP sweep along ``axis`` (0 = vertical, 1 = horizontal).
 
     The first line in sweep order is kept. The scan carries the whole
-    volume and updates one (perpendicular, D) line per step in place; both
-    axes sweep natively — no transposes.
+    volume plus the previous DP line and processes ``chunk`` lines per
+    step with a static inner loop — one line per scan step leaves the
+    device idle on while-loop bookkeeping (~30us/step); chunking
+    amortizes it. Both axes sweep natively — no transposes.
     """
     size = volume.shape[axis]
     perp = volume.shape[1 - axis]
     inv_q1 = 1.0 / config.sgm_q1
     inv_q2 = 1.0 / config.sgm_q2
+    big = jnp.full((perp, 1), BIG_COST, dtype=volume.dtype)
 
-    def step(vol, i):
-        prev_i = i - 1 if forward else i + 1
-        prev = lax.dynamic_index_in_dim(vol, prev_i, axis=axis, keepdims=False)
-        cur = lax.dynamic_index_in_dim(vol, i, axis=axis, keepdims=False)
-        b1 = lax.dynamic_index_in_dim(small_d1, i, axis=axis, keepdims=False)
-        b2 = lax.dynamic_index_in_dim(small_d2, i, axis=axis, keepdims=False)
-
+    def dp_line(prev, cur, b1, b2):
         scale = jnp.where(
             b1[:, None] & b2,
             1.0,
@@ -185,21 +183,65 @@ def _sweep(
         )
         p1 = p1_base * scale
         p2 = p2_base * scale
-
         min_prev = jnp.min(prev, axis=1, keepdims=True)
-        big = jnp.full((perp, 1), BIG_COST, dtype=vol.dtype)
         from_below = jnp.concatenate([big, prev[:, :-1]], axis=1)  # L(d-1)
         from_above = jnp.concatenate([prev[:, 1:], big], axis=1)  # L(d+1)
         candidate = jnp.minimum(
             jnp.minimum(prev, from_below + p1),
             jnp.minimum(from_above + p1, min_prev + p2),
         )
-        new_line = cur + candidate - min_prev
-        return lax.dynamic_update_index_in_dim(vol, new_line, i, axis=axis), None
+        return cur + candidate - min_prev
 
+    def take_chunk(arr, start, length):
+        block = lax.dynamic_slice_in_dim(arr, start, length, axis=axis)
+        return jnp.moveaxis(block, axis, 0)  # (chunk, perp[, D])
+
+    def step(carry, chunk_start):
+        vol, prev = carry
+        cur_block = take_chunk(vol, chunk_start, chunk)
+        b1_block = take_chunk(small_d1, chunk_start, chunk)
+        b2_block = take_chunk(small_d2, chunk_start, chunk)
+        lines = []
+        for k in range(chunk):
+            idx = k if forward else chunk - 1 - k
+            prev = dp_line(prev, cur_block[idx], b1_block[idx], b2_block[idx])
+            lines.append(prev)
+        if not forward:
+            lines = lines[::-1]
+        new_block = jnp.moveaxis(jnp.stack(lines, axis=0), 0, axis)
+        vol = lax.dynamic_update_slice_in_dim(vol, new_block, chunk_start,
+                                              axis=axis)
+        return (vol, prev), None
+
+    # the first line in sweep order is never updated; it seeds the carry
+    interior = size - 1
+    remainder = interior % chunk
+    first = 0 if forward else size - 1
+    prev = lax.index_in_dim(volume, first, axis=axis, keepdims=False)
+
+    # prologue: a few single-line static steps until the rest is chunkable
+    prologue = (
+        range(1, 1 + remainder)
+        if forward
+        else range(size - 2, size - 2 - remainder, -1)
+    )
+    for idx in prologue:
+        prev = dp_line(
+            prev,
+            lax.index_in_dim(volume, idx, axis=axis, keepdims=False),
+            lax.index_in_dim(small_d1, idx, axis=axis, keepdims=False),
+            lax.index_in_dim(small_d2, idx, axis=axis, keepdims=False),
+        )
+        volume = lax.dynamic_update_index_in_dim(volume, prev, idx, axis=axis)
+
+    num_chunks = interior // chunk
+    if num_chunks == 0:
+        return volume
     if forward:
-        steps = jnp.arange(1, size, dtype=jnp.int32)
+        starts = jnp.arange(1 + remainder, size, chunk, dtype=jnp.int32)
     else:
-        steps = jnp.arange(size - 2, -1, -1, dtype=jnp.int32)
-    out, _ = lax.scan(step, volume, steps)
+        starts = jnp.arange(
+            size - 2 - remainder - (chunk - 1), -1, -chunk, dtype=jnp.int32
+        )
+    (out, _), _ = lax.scan(step, (volume, prev), starts)
     return out

@@ -30,19 +30,19 @@ def subpixel_enhance(
     idx_plus = (disparity + 1.0).astype(jnp.int32)
     keep = (idx_minus < 0) | (idx_plus >= ndisp)
 
-    # one-hot masked reductions instead of per-pixel gathers (TPU gathers
-    # are element-wise slow); one fused pass over the volume fetches all
-    # three fiber samples
-    lanes = jnp.arange(d_pad, dtype=jnp.int32)[None, None, :]
-
-    def fetch(idx):
-        safe = jnp.clip(idx, 0, d_pad - 1)
-        onehot = lanes == safe[..., None]
-        return jnp.sum(jnp.where(onehot, left_volume, 0.0), axis=-1)
-
-    c_minus = fetch(idx_minus)
-    c_center = fetch(idx_center)
-    c_plus = fetch(idx_plus)
+    # one batched gather for all three fiber samples
+    stacked = jnp.stack(
+        [
+            jnp.clip(idx_minus, 0, d_pad - 1),
+            jnp.clip(idx_center, 0, d_pad - 1),
+            jnp.clip(idx_plus, 0, d_pad - 1),
+        ],
+        axis=-1,
+    )
+    samples = jnp.take_along_axis(left_volume, stacked, axis=-1)
+    c_minus = samples[..., 0]
+    c_center = samples[..., 1]
+    c_plus = samples[..., 2]
 
     denom = 2.0 * (c_plus - 2.0 * c_center + c_minus)
     degenerate = denom == 0.0

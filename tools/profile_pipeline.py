@@ -60,8 +60,9 @@ def main():
     (fl, fr), dt = timed(feats_fn, params, left, right, label="features x2")
     total += dt
 
-    cv_fn = jax.jit(lambda a, b: cost_volume_pair(a, b, ndisp))
-    (lcv, rcv), dt = timed(cv_fn, fl, fr, label="cost_volume_pair")
+    method = "pallas" if jax.default_backend() == "tpu" else "matmul"
+    cv_fn = jax.jit(lambda a, b: cost_volume_pair(a, b, ndisp, method=method))
+    (lcv, rcv), dt = timed(cv_fn, fl, fr, label=f"cost_volume_pair ({method})")
     total += dt
 
     arms_fn = jax.jit(
@@ -72,7 +73,11 @@ def main():
     arms_r = arms_fn(right)
     total += 2 * dt
 
-    cbca1_fn = jax.jit(lambda v, a: cbca(v, a, 1))
+    if jax.default_backend() == "tpu":
+        from mccnn_tpu.ops.cbca_mxu import cbca_mxu as agg
+    else:
+        agg = cbca
+    cbca1_fn = jax.jit(lambda v, a: agg(v, a, 1))
     _, dt = timed(cbca1_fn, lcv, arms_l, label="cbca x1 iter (one volume)")
     total += dt * 2 * (config.cbca_num_iterations_1 + config.cbca_num_iterations_2)
     print(f"{'  -> cbca total (2x(2+16) iters)':34s} "
