@@ -25,8 +25,15 @@ def make_sharded_match(
     mesh: Mesh,
     axis: str = "data",
     cost_volume_method: str = "matmul",
+    cbca_impl: str = "xla",
 ):
-    """Jitted (params, left, right) -> disparity with row-sharded volumes."""
+    """Jitted (params, left, right) -> disparity with row-sharded volumes.
+
+    Uses the pure-XLA op implementations: GSPMD partitions XLA ops
+    automatically from the sharding constraints, whereas the Pallas
+    manual-DMA kernels are single-device programs (sharding them needs a
+    shard_map wrapper — future work).
+    """
     volume_sharding = NamedSharding(mesh, P(axis, None, None))
     image_sharding = NamedSharding(mesh, P(axis, None))
 
@@ -45,6 +52,7 @@ def make_sharded_match(
             config,
             cost_volume_method,
             constrain=constrain,
+            cbca_impl=cbca_impl,
         )
 
     return sharded_match
