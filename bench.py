@@ -24,6 +24,50 @@ import numpy as np
 
 HEIGHT, WIDTH, NDISP = 1000, 1504, 200
 TARGET_MPS = (HEIGHT * WIDTH / 1e6) / 5.0  # the <5 s north-star
+LABEL = "halfres_full_pipeline_megapixels_per_s"
+
+
+def bench_quarter() -> None:
+    """Quarter-res-scale config (BASELINE.md config 1 analogue)."""
+    global HEIGHT, WIDTH, NDISP, LABEL
+    HEIGHT, WIDTH, NDISP = 500, 736, 100
+    LABEL = "quarterres_full_pipeline_megapixels_per_s"
+    main()
+
+
+def bench_train() -> None:
+    """Training-step throughput (128-triplet batches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.models.net import init_params
+    from mccnn_tpu.pipeline.train import make_optimizer, make_train_step
+    from mccnn_tpu.utils.config import TrainConfig
+
+    config = TrainConfig()
+    params = init_params(jax.random.key(0))
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+    step = make_train_step(config, optimizer)
+    rng = np.random.default_rng(0)
+    batch = tuple(
+        jnp.asarray(rng.normal(size=(128, 11, 11, 1)).astype(np.float32))
+        for _ in range(3)
+    )
+    params, opt_state, loss = step(params, opt_state, batch)
+    print(f"first step loss {float(loss):.4f}", file=sys.stderr)
+    iters = 50
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, batch)
+    float(loss)  # sync
+    per_step = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "train_steps_per_s_batch128",
+        "value": round(1.0 / per_step, 2),
+        "unit": "steps/s",
+        "vs_baseline": 1.0,
+    }))
 
 
 def main() -> None:
@@ -71,7 +115,7 @@ def main() -> None:
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": "halfres_full_pipeline_megapixels_per_s",
+        "metric": LABEL,
         "value": round(mpix_per_s, 4),
         "unit": "MP/s",
         "vs_baseline": round(mpix_per_s / TARGET_MPS, 4),
@@ -79,4 +123,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--config" in sys.argv:
+        which = sys.argv[sys.argv.index("--config") + 1]
+        {"half": main, "quarter": bench_quarter, "train": bench_train}[which]()
+    else:
+        main()

@@ -11,7 +11,7 @@ the reference can bring their trained model along (e.g. the shipped
 from __future__ import annotations
 
 import re
-from typing import Dict
+
 
 import numpy as np
 

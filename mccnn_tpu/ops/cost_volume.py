@@ -10,16 +10,20 @@ Behavioral spec (reference: src/process_functional.py:78-113):
     right edge.
 
 TPU design: instead of the reference's per-disparity Python shift-and-dot
-loop, the scores are produced on the MXU as row-block correlation matmuls
-``fL[h] @ fR[h]^T`` with the diagonal band gathered out (method="matmul"),
-or as a lane-friendly roll-and-reduce scan (method="rolldot", exact f32 VPU
-math, used for parity tests and tiny shapes). Volumes are ``(H, W, D)`` with
-D padded to a lane multiple; padded entries hold the ``BIG_COST`` sentinel.
+loop, the score bands are produced by
+  * method="pallas" (TPU default): the Pallas MXU band kernel — per-row
+    correlation matmuls with log-skew diagonal extraction, emitting both
+    bands in one pass (see ops/cost_volume_pallas.py);
+  * method="matmul": XLA row-block (W, W) correlation matmuls with a
+    banded take_along_axis (portable; the gather is slow on TPU);
+  * method="rolldot": a roll-and-reduce scan (exact f32 VPU math, used for
+    parity tests and tiny shapes).
+Volumes are ``(H, W, D)`` with D padded to a lane multiple; padded entries
+hold the ``BIG_COST`` sentinel.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
