@@ -114,7 +114,10 @@ def main(argv=None) -> None:
             params = load_any(args.resume)
             opt_state = optimizer.init(params)
 
-    logger = MetricsLogger(os.path.join(args.tensorboard_dir, "metrics.jsonl"))
+    logger = MetricsLogger(
+        os.path.join(args.tensorboard_dir, "metrics.jsonl"),
+        tensorboard_dir=args.tensorboard_dir,
+    )
     logger.log(event="start", train_pairs=len(train_set), val_pairs=len(val_set),
                devices=jax.device_count())
 
@@ -125,7 +128,8 @@ def main(argv=None) -> None:
                 batch = shard_batch(batch, mesh)
             params, opt_state, loss = train_step(params, opt_state, batch)
             if (batch_idx + 1) % config.print_freq == 0:
-                logger.log(event="train", epoch=epoch + 1, batch=batch_idx + 1,
+                logger.log(step=epoch * len(train_set) + batch_idx,
+                           event="train", epoch=epoch + 1, batch=batch_idx + 1,
                            hinge_loss=float(loss))
 
         if (epoch + 1) % config.save_freq == 0:
@@ -138,7 +142,8 @@ def main(argv=None) -> None:
                 batch = val_sampler.next_batch(config.batch_size)
                 val_loss += float(eval_step(params, batch))
             val_loss /= max(1, len(val_set))
-            logger.log(event="val", epoch=epoch + 1, val_hinge_loss=val_loss)
+            logger.log(step=len(train_set) * (epoch + 1), event="val",
+                       epoch=epoch + 1, val_hinge_loss=val_loss)
 
         train_sampler.reset()
         val_sampler.reset()

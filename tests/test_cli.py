@@ -121,3 +121,45 @@ def test_train_cli_resume(tmp_path, rng):
     main(common + ["--end_epoch", "2",
                    "--resume", str(ckpt_dir / "model_epoch1.npz")])
     assert (ckpt_dir / "model_epoch2.npz").exists()
+
+
+def test_train_cli_writes_tensorboard_events(tmp_path, rng):
+    pytest.importorskip("tensorflow")
+    from mccnn_tpu.cli.train import main
+
+    data_dir = tmp_path / "data"
+    _write_scene(data_dir / "s0", rng, height=32, width=40)
+    for split in ("train", "val"):
+        (tmp_path / f"{split}.txt").write_text(f"{data_dir}/s0/im0.png\n")
+    metrics_dir = tmp_path / "tb"
+
+    main([
+        "--list_dir", str(tmp_path),
+        "--tensorboard_dir", str(metrics_dir),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--batch_size", "8",
+        "--end_epoch", "1",
+        "--print_freq", "1",
+    ])
+    events = [f for f in os.listdir(metrics_dir) if "tfevents" in f]
+    assert events, "no TensorBoard event files written"
+
+
+def test_train_cli_data_parallel(tmp_path, rng):
+    from mccnn_tpu.cli.train import main
+
+    data_dir = tmp_path / "data"
+    _write_scene(data_dir / "s0", rng, height=32, width=40)
+    for split in ("train", "val"):
+        (tmp_path / f"{split}.txt").write_text(f"{data_dir}/s0/im0.png\n")
+
+    main([
+        "--list_dir", str(tmp_path),
+        "--tensorboard_dir", str(tmp_path / "tb"),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--batch_size", "16",  # 2 per fake device
+        "--end_epoch", "1",
+        "--print_freq", "1",
+        "--data_parallel",
+    ])
+    assert (tmp_path / "ckpt" / "model_epoch1.npz").exists()
