@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the batch over all local devices")
+    parser.add_argument("--sampler_backend", type=str, default="numpy",
+                        choices=["numpy", "native", "auto"],
+                        help="host patch-sampler implementation (native = "
+                             "the C++ sampler in native/)")
     return parser
 
 
@@ -83,12 +87,14 @@ def main(argv=None) -> None:
         dataset_pos=config.dataset_pos,
         dataset_neg_low=config.dataset_neg_low,
         dataset_neg_high=config.dataset_neg_high,
+        backend=args.sampler_backend,
     )
     val_sampler = TripletSampler(
         val_set, patch_size=args.patch_size, seed=args.seed + 1,
         dataset_pos=config.dataset_pos,
         dataset_neg_low=config.dataset_neg_low,
         dataset_neg_high=config.dataset_neg_high,
+        backend=args.sampler_backend,
     )
 
     params = init_params(jax.random.key(args.seed))

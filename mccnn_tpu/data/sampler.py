@@ -37,7 +37,12 @@ class TripletSampler:
         dataset_neg_low: float = 1.5,
         dataset_neg_high: float = 6.0,
         seed: Optional[int] = None,
+        backend: str = "numpy",
     ):
+        """``backend``: "numpy" (default; vectorized host path preserving
+        the reference's permutation-proposal quirk), "native" (the C++
+        host-runtime sampler in native/ — identical rejection semantics,
+        uniform proposals), or "auto" (native when the library is built)."""
         self.dataset = dataset
         self.patch_size = patch_size
         self.pos = dataset_pos
@@ -45,6 +50,16 @@ class TripletSampler:
         self.neg_high = dataset_neg_high
         self._rng = np.random.default_rng(seed)
         self._pointer = 0
+        if backend == "auto":
+            from mccnn_tpu import native
+
+            backend = "native" if native.available() else "numpy"
+        elif backend == "native":
+            from mccnn_tpu import native
+
+            if not native.ensure_built():
+                raise RuntimeError("native sampler requested but not buildable")
+        self.backend = backend
 
     def reset(self) -> None:
         self._pointer = 0
@@ -81,6 +96,8 @@ class TripletSampler:
         left, right, gt = self.dataset.get(self._pointer)
         self._pointer = (self._pointer + 1) % len(self.dataset)
         height, width = left.shape
+        if self.backend == "native":
+            return self._next_batch_native(left, right, gt, batch_size)
         if height < batch_size or width < batch_size:
             raise ValueError(
                 f"image {height}x{width} smaller than batch size {batch_size} "
@@ -111,3 +128,19 @@ class TripletSampler:
         patches_pos = right_pad[row_idx, col_idx_p][..., None].astype(np.float32)
         patches_neg = right_pad[row_idx, col_idx_n][..., None].astype(np.float32)
         return patches_left, patches_pos, patches_neg
+
+    def _next_batch_native(self, left, right, gt, batch_size):
+        from mccnn_tpu import native
+
+        seed = int(self._rng.integers(0, 2**63 - 1))
+        rows, cols, pos_cols, neg_cols = native.sample_triplets(
+            gt, batch_size, seed, self.pos, self.neg_low, self.neg_high
+        )
+        patches_left = native.extract_patches(left, rows, cols, self.patch_size)
+        patches_pos = native.extract_patches(right, rows, pos_cols, self.patch_size)
+        patches_neg = native.extract_patches(right, rows, neg_cols, self.patch_size)
+        return (
+            patches_left[..., None],
+            patches_pos[..., None],
+            patches_neg[..., None],
+        )

@@ -1,0 +1,101 @@
+// Native host-side data path: triplet patch sampling + patch extraction.
+//
+// The training hot loop's host work is drawing valid anchor pixels and
+// slicing (B, ps, ps) patch triplets every step (behavioral spec:
+// reference src/datagenerator.py:137-216 — anchors resampled while the GT
+// disparity is inf or occluded (int(gt) > col); positive column =
+// col - int(gt) + U(-pos, pos), negative = +- U(neg_lo, neg_hi), both
+// truncated toward zero and rejected outside [0, W)). The vectorized
+// NumPy sampler (mccnn_tpu/data/sampler.py) is the portable path; this
+// C++ implementation removes the remaining per-step host overhead for
+// production input pipelines and is loaded via ctypes with automatic
+// fallback (mccnn_tpu/native/__init__.py).
+//
+// Build: `make -C native` (produces libmccnn_host.so).
+
+#include <cmath>
+#include <cstdint>
+#include <random>
+
+namespace {
+
+// Truncate toward zero, like Python2 int() / C casts.
+inline int64_t trunc_to_int(double v) { return static_cast<int64_t>(v); }
+
+}  // namespace
+
+extern "C" {
+
+// Fills rows/cols/pos_cols/neg_cols (each batch-sized) with a sampled
+// batch satisfying the reference's rejection rules. Returns 0 on success,
+// 1 if an infinite rejection loop was detected (no valid anchors).
+int mccnn_sample_triplets(
+    const float* gt, int64_t height, int64_t width,
+    int64_t batch, uint64_t seed,
+    double pos_dev, double neg_low, double neg_high,
+    int64_t* rows, int64_t* cols, int64_t* pos_cols, int64_t* neg_cols) {
+  std::mt19937_64 rng(seed);
+  std::uniform_int_distribution<int64_t> rand_row(0, height - 1);
+  std::uniform_int_distribution<int64_t> rand_col(0, width - 1);
+  std::uniform_real_distribution<double> upos(-pos_dev, pos_dev);
+  std::uniform_real_distribution<double> uneg(neg_low, neg_high);
+  std::uniform_int_distribution<int> coin(0, 1);
+
+  for (int64_t b = 0; b < batch; ++b) {
+    int64_t r = rand_row(rng);
+    int64_t c = rand_col(rng);
+    // reject inf-disparity and occluded anchors
+    int64_t guard = 0;
+    while (true) {
+      const float g = gt[r * width + c];
+      const bool invalid =
+          !std::isfinite(g) || static_cast<int64_t>(g) > c;
+      if (!invalid) break;
+      if (++guard > height * width * 16) return 1;
+      r = rand_row(rng);
+      c = rand_col(rng);
+    }
+    rows[b] = r;
+    cols[b] = c;
+
+    const int64_t base = c - static_cast<int64_t>(gt[r * width + c]);
+    int64_t pc = -1;
+    while (pc < 0 || pc >= width) pc = trunc_to_int(base + upos(rng));
+    pos_cols[b] = pc;
+
+    int64_t nc = -1;
+    while (nc < 0 || nc >= width) {
+      double dev = uneg(rng);
+      if (coin(rng) == 0) dev = -dev;
+      nc = trunc_to_int(base + dev);
+    }
+    neg_cols[b] = nc;
+  }
+  return 0;
+}
+
+// Extracts (batch, ps, ps) patches centered at (rows[b], cols[b]) from a
+// zero-padded view of image (H, W): out-of-image samples are 0, matching
+// the reference's zero-padded augmentation (src/datagenerator.py:173-182).
+void mccnn_extract_patches(
+    const float* image, int64_t height, int64_t width,
+    const int64_t* rows, const int64_t* cols, int64_t batch,
+    int64_t patch, float* out) {
+  const int64_t radius = (patch - 1) / 2;
+  for (int64_t b = 0; b < batch; ++b) {
+    const int64_t r0 = rows[b] - radius;
+    const int64_t c0 = cols[b] - radius;
+    float* dst = out + b * patch * patch;
+    for (int64_t i = 0; i < patch; ++i) {
+      const int64_t r = r0 + i;
+      for (int64_t j = 0; j < patch; ++j) {
+        const int64_t c = c0 + j;
+        const bool in =
+            (r >= 0) && (r < height) && (c >= 0) && (c < width);
+        dst[i * patch + j] = in ? image[r * width + c] : 0.0f;
+      }
+    }
+  }
+}
+
+}  // extern "C"
