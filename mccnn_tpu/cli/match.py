@@ -118,7 +118,12 @@ def main(argv=None) -> None:
 
         owned = set(process_slice(len(scene_paths)))
 
-    for index, left_path in enumerate(scene_paths):
+    try:
+        from tqdm import tqdm
+    except ImportError:  # pragma: no cover
+        tqdm = lambda x: x  # noqa: E731
+
+    for index, left_path in enumerate(tqdm(scene_paths)):
         if index < args.start or index > args.end:
             continue
         if owned is not None and index not in owned:

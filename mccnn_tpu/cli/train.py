@@ -127,8 +127,14 @@ def main(argv=None) -> None:
     logger.log(event="start", train_pairs=len(train_set), val_pairs=len(val_set),
                devices=jax.device_count())
 
+    try:
+        from tqdm import tqdm
+    except ImportError:  # pragma: no cover
+        tqdm = lambda x, **kw: x  # noqa: E731
+
     for epoch in range(start_epoch, config.end_epoch):
-        for batch_idx in range(len(train_set)):
+        for batch_idx in tqdm(range(len(train_set)),
+                              desc=f"epoch {epoch + 1}", leave=False):
             batch = train_sampler.next_batch(config.batch_size)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
@@ -144,7 +150,7 @@ def main(argv=None) -> None:
 
         if (epoch + 1) % config.val_freq == 0:
             val_loss = 0.0
-            for _ in range(len(val_set)):
+            for _ in tqdm(range(len(val_set)), desc="val", leave=False):
                 batch = val_sampler.next_batch(config.batch_size)
                 val_loss += float(eval_step(params, batch))
             val_loss /= max(1, len(val_set))

@@ -43,8 +43,9 @@ def init_params(
     initializer = jax.nn.initializers.glorot_uniform()
     for i in range(1, config.num_layers + 1):
         key, sub = jax.random.split(key)
+        groups = config.groups if i > 1 else 1  # layer 1 input is 1-channel
         params[f"conv{i}"] = {
-            "w": initializer(sub, (k, k, cin, config.num_maps), dtype),
+            "w": initializer(sub, (k, k, cin // groups, config.num_maps), dtype),
             "b": jnp.zeros((config.num_maps,), dtype),
         }
         cin = config.num_maps
@@ -52,16 +53,25 @@ def init_params(
 
 
 def _conv_stack(params: Params, x: jax.Array) -> jax.Array:
-    """VALID conv stack on NHWC input; ReLU on all layers but the last."""
+    """VALID conv stack on NHWC input; ReLU on all layers but the last.
+
+    Grouped convolution (the reference's conv() supports it via split/
+    concat, reference: src/model.py:106-114) is expressed by kernels whose
+    input-channel extent divides the activations': XLA's
+    feature_group_count — no splitting needed.
+    """
     num_layers = len(params)
     for i in range(1, num_layers + 1):
         layer = params[f"conv{i}"]
+        cin = x.shape[-1]
+        groups = cin // layer["w"].shape[2]
         x = lax.conv_general_dilated(
             x,
             layer["w"],
             window_strides=(1, 1),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
         )
         x = x + layer["b"]
         if i < num_layers:

@@ -20,6 +20,7 @@ class NetConfig:
     num_maps: int = 64
     kernel_size: int = 3
     input_channels: int = 1
+    groups: int = 1  # grouped conv (reference supports it, never uses >1)
 
     @property
     def receptive_field(self) -> int:

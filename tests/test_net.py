@@ -72,3 +72,37 @@ def test_reference_npy_dict_round_trip(tmp_path):
     for name in params:
         np.testing.assert_array_equal(loaded[name]["w"], params[name]["w"])
         np.testing.assert_array_equal(loaded[name]["b"], params[name]["b"])
+
+
+def test_grouped_conv_support(rng):
+    """C2 parity: grouped conv splits channels like the reference's
+    split/concat path (reference: src/model.py:106-114)."""
+    from mccnn_tpu.models.net import _conv_stack
+
+    config = NetConfig(num_layers=2, num_maps=8, groups=2)
+    params = init_params(jax.random.key(0), config)
+    assert params["conv2"]["w"].shape == (3, 3, 4, 8)
+
+    x = jnp.asarray(rng.normal(size=(2, 11, 11, 1)).astype(np.float32))
+    out = _conv_stack(params, x)
+    assert out.shape == (2, 7, 7, 8)
+
+    # equivalence with the reference's explicit split/concat formulation
+    import jax as _jax
+
+    h1 = _jax.lax.conv_general_dilated(
+        x, params["conv1"]["w"], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["conv1"]["b"]
+    h1 = jnp.maximum(h1, 0.0)
+    halves_in = jnp.split(h1, 2, axis=3)
+    halves_w = jnp.split(params["conv2"]["w"], 2, axis=3)
+    outs = [
+        _jax.lax.conv_general_dilated(
+            xi, wi, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        for xi, wi in zip(halves_in, halves_w)
+    ]
+    expected = jnp.concatenate(outs, axis=3) + params["conv2"]["b"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
