@@ -24,7 +24,7 @@ from mccnn_tpu.ops.cbca import cbca, compute_arms
 from mccnn_tpu.ops.cost_volume import cost_volume_pair
 from mccnn_tpu.ops.filters import bilateral_filter, median_filter
 from mccnn_tpu.ops.lr_check import lr_consistency_interpolate
-from mccnn_tpu.ops.sgm import sgm
+from mccnn_tpu.ops.sgm import _sgm_one_volume
 from mccnn_tpu.ops.subpixel import subpixel_enhance
 from mccnn_tpu.ops.wta import wta_disparity
 from mccnn_tpu.utils.config import MatchConfig
@@ -70,13 +70,6 @@ def match_pair(
     left_volume = constrain(left_volume)
     right_volume = constrain(right_volume)
 
-    arms_left = compute_arms(
-        left_image, config.cbca_intensity, int(config.cbca_distance)
-    )
-    arms_right = compute_arms(
-        right_image, config.cbca_intensity, int(config.cbca_distance)
-    )
-
     distance = int(config.cbca_distance)
     if cbca_impl == "pallas":
         from mccnn_tpu.ops.cbca_pallas import cbca_pallas as aggregate
@@ -85,27 +78,34 @@ def match_pair(
     else:
         aggregate = cbca
 
-    left_volume = constrain(
-        aggregate(left_volume, arms_left, config.cbca_num_iterations_1, distance)
-    )
-    right_volume = constrain(
-        aggregate(right_volume, arms_right, config.cbca_num_iterations_1, distance)
-    )
+    def process_volume(volume, image, choice):
+        """CBCA(iters1) -> SGM -> CBCA(iters2) for one volume.
 
-    left_volume, right_volume = sgm(
-        left_volume, right_volume, left_image, right_image, ndisp, config
-    )
-    left_volume = constrain(left_volume)
-    right_volume = constrain(right_volume)
+        Per-volume processing (the stages are independent between volumes)
+        keeps only one image's CBCA state live at a time — with the MXU
+        aggregation that halves mask-build work and peak mask memory.
+        """
+        arms = compute_arms(image, config.cbca_intensity, distance)
+        kwargs = {}
+        if cbca_impl == "mxu":
+            from mccnn_tpu.ops.cbca_mxu import build_masks
 
-    left_volume = aggregate(
-        left_volume, arms_left, config.cbca_num_iterations_2, distance
-    )
-    right_volume = aggregate(
-        right_volume, arms_right, config.cbca_num_iterations_2, distance
-    )
-    left_volume = constrain(left_volume)
-    right_volume = constrain(right_volume)
+            kwargs["masks"] = build_masks(arms)
+        volume = constrain(
+            aggregate(volume, arms, config.cbca_num_iterations_1, distance,
+                      **kwargs)
+        )
+        volume = constrain(
+            _sgm_one_volume(volume, left_image, right_image, choice, ndisp,
+                            config)
+        )
+        return constrain(
+            aggregate(volume, arms, config.cbca_num_iterations_2, distance,
+                      **kwargs)
+        )
+
+    left_volume = process_volume(left_volume, left_image, "L")
+    right_volume = process_volume(right_volume, right_image, "R")
 
     left_disparity = wta_disparity(left_volume)
     right_disparity = wta_disparity(right_volume)
