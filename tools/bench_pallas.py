@@ -71,28 +71,6 @@ if __name__ == "__main__":
     main()
 
 
-def bench_hdw():
-    import jax
-    import jax.numpy as jnp
-
-    from mccnn_tpu.ops.cbca import compute_arms
-    from mccnn_tpu.ops.cbca_pallas_hdw import cbca_pallas_hdw
-
-    height, width, d_pad = 1000, 1504, 256
-    rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.normal(size=(height, width)).astype(np.float32))
-    vol = jnp.asarray(rng.normal(size=(height, width, d_pad)).astype(np.float32))
-    arms = jax.jit(lambda i: compute_arms(i, 0.02, 14))(image)
-    timed(jax.jit(lambda v, a: cbca_pallas_hdw(v, a, 1, 14)), vol, arms,
-          label="cbca pallas HDW x1 iter")
-    timed(jax.jit(lambda v, a: cbca_pallas_hdw(v, a, 16, 14)), vol, arms,
-          iters=1, label="cbca pallas HDW x16 iters")
-    from mccnn_tpu.ops.cbca import cbca
-    a = np.asarray(jax.jit(lambda v, ar: cbca(v, ar, 2, 14))(vol, arms))
-    b = np.asarray(jax.jit(lambda v, ar: cbca_pallas_hdw(v, ar, 2, 14))(vol, arms))
-    print("cbca xla vs HDW max abs diff:", float(np.max(np.abs(a - b))), flush=True)
-
-
 def bench_mxu():
     import jax
     import jax.numpy as jnp
