@@ -187,15 +187,15 @@ def _masked_mean3(cols: jax.Array, valid: jax.Array) -> jax.Array:
     return total / count
 
 
-def _border_fill_left(scores: jax.Array, ndisp: int) -> jax.Array:
+def _border_fill_left(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Array:
     """Fill the no-correspondence band of the left volume.
 
     Sequentially for d = ndisp-1 .. 1: column d-1 gets, for disparities
     >= d, the mean of columns d..d+2 (clipped at the image edge) — columns
     that may themselves have been filled by earlier steps
     (reference: src/process_functional.py:94-95). The scan carries a
-    once-padded volume so each step touches only a 3-column slice (padding
-    inside the scan body would copy the whole volume every step).
+    once-padded volume and processes ``chunk`` fill steps per iteration on
+    a local (H, chunk+3, D) block (one-step scans idle on loop overhead).
     """
     if ndisp < 2:
         return scores
@@ -203,20 +203,39 @@ def _border_fill_left(scores: jax.Array, ndisp: int) -> jax.Array:
     dgrid = disparity_iota(d_pad)[0]  # (1, D)
     padded = jnp.pad(scores, ((0, 0), (0, 2), (0, 0)))
 
-    def step(volume, d):
-        cols = lax.dynamic_slice(volume, (0, d, 0), (height, 3, d_pad))
+    def fill_one(block, local, d):
+        """block cols [base, base+size): write local, read local+1..+3."""
+        cols = lax.dynamic_slice_in_dim(block, local + 1, 3, axis=1)
         valid = d + jnp.arange(3, dtype=jnp.int32) < width
         mean = _masked_mean3(cols, valid)
-        old = lax.dynamic_index_in_dim(volume, d - 1, axis=1, keepdims=False)
+        old = lax.index_in_dim(block, local, axis=1, keepdims=False)
         new_col = jnp.where(dgrid >= d, mean, old)
-        return lax.dynamic_update_index_in_dim(volume, new_col, d - 1, axis=1), None
+        return lax.dynamic_update_index_in_dim(block, new_col, local, axis=1)
 
-    steps = jnp.arange(ndisp - 1, 0, -1, dtype=jnp.int32)
-    volume, _ = lax.scan(step, padded, steps)
+    total = ndisp - 1  # fill steps, d = ndisp-1 .. 1
+    remainder = total % chunk
+    volume = padded
+    d = ndisp - 1
+    for _ in range(remainder):  # static prologue
+        volume = fill_one(volume, d - 1, jnp.int32(d))
+        d -= 1
+
+    def step(volume, d_hi):
+        # this chunk fills d = d_hi .. d_hi-chunk+1 -> columns base..base+K-1
+        base = d_hi - chunk  # lowest written column (d_hi - chunk + 1) - 1
+        block = lax.dynamic_slice(volume, (0, base, 0),
+                                  (height, chunk + 3, d_pad))
+        for j in range(chunk):
+            block = fill_one(block, chunk - 1 - j, d_hi - j)
+        return lax.dynamic_update_slice(volume, block, (0, base, 0)), None
+
+    if d >= 1:
+        starts = jnp.arange(d, 0, -chunk, dtype=jnp.int32)
+        volume, _ = lax.scan(step, volume, starts)
     return volume[:, :width, :]
 
 
-def _border_fill_right(scores: jax.Array, ndisp: int) -> jax.Array:
+def _border_fill_right(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Array:
     """Mirrored border fill for the right volume.
 
     Sequentially for d = ndisp-1 .. 1: column W-d gets, for disparities
@@ -229,20 +248,33 @@ def _border_fill_right(scores: jax.Array, ndisp: int) -> jax.Array:
     dgrid = disparity_iota(d_pad)[0]  # (1, D)
     padded = jnp.pad(scores, ((0, 0), (3, 0), (0, 0)))
 
-    def step(volume, d):
-        # unpadded column (width - d - 3) sits at padded index (width - d)
-        cols = lax.dynamic_slice(volume, (0, width - d, 0), (height, 3, d_pad))
+    def fill_one(block, local, d):
+        """write local col (= padded W-d+3 within block), read local-3..-1."""
+        cols = lax.dynamic_slice_in_dim(block, local - 3, 3, axis=1)
         valid = width - d - 3 + jnp.arange(3, dtype=jnp.int32) >= 0
         mean = _masked_mean3(cols, valid)
-        old = lax.dynamic_index_in_dim(
-            volume, width - d + 3, axis=1, keepdims=False
-        )
+        old = lax.index_in_dim(block, local, axis=1, keepdims=False)
         new_col = jnp.where(dgrid >= d, mean, old)
-        return (
-            lax.dynamic_update_index_in_dim(volume, new_col, width - d + 3, axis=1),
-            None,
-        )
+        return lax.dynamic_update_index_in_dim(block, new_col, local, axis=1)
 
-    steps = jnp.arange(ndisp - 1, 0, -1, dtype=jnp.int32)
-    volume, _ = lax.scan(step, padded, steps)
+    total = ndisp - 1
+    remainder = total % chunk
+    volume = padded
+    d = ndisp - 1
+    for _ in range(remainder):  # static prologue
+        volume = fill_one(volume, width - d + 3, jnp.int32(d))
+        d -= 1
+
+    def step(volume, d_hi):
+        # fills d = d_hi .. d_hi-chunk+1 -> padded cols (W-d_hi+3)..(+K-1)
+        base = width - d_hi  # 3 read-context cols before the first write
+        block = lax.dynamic_slice(volume, (0, base, 0),
+                                  (height, chunk + 3, d_pad))
+        for j in range(chunk):
+            block = fill_one(block, 3 + j, d_hi - j)
+        return lax.dynamic_update_slice(volume, block, (0, base, 0)), None
+
+    if d >= 1:
+        starts = jnp.arange(d, 0, -chunk, dtype=jnp.int32)
+        volume, _ = lax.scan(step, volume, starts)
     return volume[:, 3:, :]

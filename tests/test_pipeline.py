@@ -100,3 +100,17 @@ def test_match_pair_is_jittable(rng):
     out = fn(params, jnp.asarray(left), jnp.asarray(right))
     assert out.shape == (8, 12)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_paper_mode_pipeline_differs_from_chained(rng):
+    """sgm_paper_mode switches the SGM semantics end-to-end."""
+    params = init_params(jax.random.key(1))
+    left, right = _stereo_pair(rng, height=10, width=16)
+    chained = np.asarray(match_pair(params, jnp.asarray(left),
+                                    jnp.asarray(right), 5, CFG))
+    paper = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), 5,
+        CFG.replace(sgm_paper_mode=True),
+    ))
+    assert chained.shape == paper.shape
+    assert not np.allclose(chained, paper)
