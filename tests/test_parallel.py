@@ -57,3 +57,23 @@ def test_sharded_match_matches_unsharded(rng):
 
     close = np.isclose(plain, sharded, atol=1e-3)
     assert close.mean() > 0.98, f"only {close.mean():.2%} pixels agree"
+
+
+def test_shard_map_cbca_matches_unsharded(rng):
+    from mccnn_tpu.ops.cbca import cbca, compute_arms
+    from mccnn_tpu.ops.common import BIG_COST
+    from mccnn_tpu.parallel.cbca import cbca_sharded
+
+    mesh = make_mesh(8)
+    height, width, ndisp, d_pad = 48, 20, 5, 8  # 6 rows/shard > radius 3
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    tau, dist = 0.8, 4
+
+    arms = compute_arms(jnp.asarray(image), tau, dist)
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, 3, dist))
+    sharded = np.asarray(
+        cbca_sharded(jnp.asarray(volume), arms, 3, dist, mesh)
+    )
+    np.testing.assert_allclose(sharded, expected, rtol=1e-4, atol=1e-4)
