@@ -52,3 +52,22 @@ def test_methods_agree(rng):
                                        method="rolldot")
     np.testing.assert_allclose(np.asarray(left_a), np.asarray(left_b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(right_a), np.asarray(right_b), atol=1e-5)
+
+
+def test_minimal_width_regime(rng):
+    """W = ndisp + 2 is the narrowest width where the reference's border
+    fills stay well-defined (narrower widths make its right-volume fill
+    average over an empty slice); pin parity at the boundary."""
+    height, width, ndisp = 4, 8, 6
+    fl = _unit_features(rng, height, width)
+    fr = _unit_features(rng, height, width)
+    left, right = cost_volume_pair(
+        jnp.asarray(fl), jnp.asarray(fr), ndisp, d_pad=8, method="rolldot"
+    )
+    oracle_l, oracle_r = cost_volume_oracle(fl, fr, ndisp)
+    np.testing.assert_allclose(
+        _to_reference_layout(left, ndisp), oracle_l, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        _to_reference_layout(right, ndisp), oracle_r, atol=1e-5
+    )
