@@ -66,14 +66,24 @@ class TripletSampler:
         self.dataset.reshuffle()
 
     def _valid_anchors(self, gt, rows, cols, height, width):
-        """Resample invalid anchors until every one is valid."""
+        """Resample invalid anchors until every one is valid.
+
+        Unlike the reference (which loops forever on a GT map with no
+        valid pixels), this raises once resampling clearly can't succeed.
+        """
+        rounds = 0
         while True:
             invalid = ~np.isfinite(gt[rows, cols])
             gt_int = np.where(invalid, 0, gt[rows, cols]).astype(np.int64)
             invalid |= gt_int > cols
             if not invalid.any():
                 return rows, cols
-            n = int(invalid.sum())
+            rounds += 1
+            if rounds > 16 * height * width:
+                raise ValueError(
+                    "no valid (finite, non-occluded) anchor pixels in the "
+                    "ground-truth disparity map"
+                )
             rows = np.where(invalid, self._rng.integers(0, height, size=rows.shape), rows)
             cols = np.where(invalid, self._rng.integers(0, width, size=cols.shape), cols)
 
