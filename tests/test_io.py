@@ -72,3 +72,20 @@ def test_save_disparity_pgm(tmp_path):
     with open(path, "rb") as f:
         raw = f.read()
     assert raw == b"P5\n2 2\n255\n" + bytes([0, 255, 0, 128])
+
+
+def test_pgm_bytes_match_cv2(tmp_path, rng):
+    """The reference writes PGM via cv2.imwrite (reference: src/util.py:50-52);
+    with cv2 available, require byte-identical output for float disparities."""
+    cv2 = pytest.importorskip("cv2")
+
+    disparity = (rng.random((13, 17)) * 260 - 2).astype(np.float32)
+    ours = str(tmp_path / "ours.pgm")
+    theirs = str(tmp_path / "cv2.pgm")
+    save_disparity_pgm(disparity, ours)
+    cv2.imwrite(theirs, disparity)
+    with open(ours, "rb") as f:
+        a = f.read()
+    with open(theirs, "rb") as f:
+        b = f.read()
+    assert a == b
