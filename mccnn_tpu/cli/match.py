@@ -68,10 +68,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cost_volume_method", type=str, default="auto",
                         choices=["auto", "pallas", "matmul", "rolldot"])
     parser.add_argument("--cbca_impl", type=str, default="auto",
-                        choices=["auto", "mxu", "pallas", "xla"])
-    parser.add_argument("--bucket", type=int, default=64,
-                        help="pad images to multiples of this to bound "
-                             "recompilation across scene shapes")
+                        choices=["auto", "mxu", "pallas", "xla"],
+                        help="CBCA aggregation backend. 'auto' picks 'mxu' "
+                             "on TPU: banded 0/1 matmuls with bf16 multiplies "
+                             "(~0.16%% mean relative deviation per stage; "
+                             "end-to-end bad-2.0 pinned within 0.5 pt). Use "
+                             "'xla' or 'pallas' for exact-f32, "
+                             "reference-matching output")
+    parser.add_argument("--bucket", type=int, default=1,
+                        help="pad images (edge-replicated) to multiples of "
+                             "this to bound recompilation across scene "
+                             "shapes. Values >1 change SGM/CBCA numerics in "
+                             "the padded band, so outputs deviate slightly "
+                             "from the reference; 1 (default) is strict "
+                             "parity, 64 recommended for serving throughput")
     parser.add_argument("--multihost", action="store_true",
                         help="shard scenes across jax processes (strided by "
                              "process_index) inside the --start/--end range")

@@ -39,10 +39,12 @@ class TripletSampler:
         seed: Optional[int] = None,
         backend: str = "numpy",
     ):
-        """``backend``: "numpy" (default; vectorized host path preserving
-        the reference's permutation-proposal quirk), "native" (the C++
-        host-runtime sampler in native/ — identical rejection semantics,
-        uniform proposals), or "auto" (native when the library is built)."""
+        """``backend``: "numpy" (default; vectorized host path), "native"
+        (the C++ host-runtime sampler in native/), or "auto" (native when
+        the library is built). Both backends use the reference's
+        permutation-proposal scheme (distinct initial rows/cols, uniform
+        rejection resampling) — same sampling distribution, different RNG
+        streams."""
         self.dataset = dataset
         self.patch_size = patch_size
         self.pos = dataset_pos

@@ -101,6 +101,11 @@ def sample_triplets(
         pos_dev, neg_low, neg_high,
         _i64p(rows), _i64p(cols), _i64p(pos_cols), _i64p(neg_cols),
     )
+    if status == 2:
+        raise ValueError(
+            f"batch {batch} exceeds image dims {height}x{width} (anchor "
+            "proposals are drawn as distinct row/column permutations)"
+        )
     if status != 0:
         raise ValueError("no valid anchor pixels in ground-truth map")
     return rows, cols, pos_cols, neg_cols

@@ -16,6 +16,7 @@
 #include <cmath>
 #include <cstdint>
 #include <random>
+#include <vector>
 
 namespace {
 
@@ -24,16 +25,42 @@ inline int64_t trunc_to_int(double v) { return static_cast<int64_t>(v); }
 
 }  // namespace
 
+namespace {
+
+// Draw `count` DISTINCT values from [0, n) — the head of a Fisher-Yates
+// partial shuffle. This reproduces the reference's anchor-proposal scheme
+// (initial rows/cols are np.random.permutation heads, so within one batch
+// the proposals are duplicate-free; reference src/datagenerator.py:162-163)
+// so the native and NumPy backends sample from the same distribution.
+void partial_permutation(std::mt19937_64& rng, int64_t n, int64_t count,
+                         std::vector<int64_t>& out) {
+  std::vector<int64_t> pool(n);
+  for (int64_t i = 0; i < n; ++i) pool[i] = i;
+  out.resize(count);
+  for (int64_t i = 0; i < count; ++i) {
+    std::uniform_int_distribution<int64_t> pick(i, n - 1);
+    std::swap(pool[i], pool[pick(rng)]);
+    out[i] = pool[i];
+  }
+}
+
+}  // namespace
+
 extern "C" {
 
 // Fills rows/cols/pos_cols/neg_cols (each batch-sized) with a sampled
-// batch satisfying the reference's rejection rules. Returns 0 on success,
-// 1 if an infinite rejection loop was detected (no valid anchors).
+// batch satisfying the reference's rejection rules. Initial anchor
+// proposals are distinct row/column permutation heads (like the reference
+// and the NumPy backend); invalid anchors are resampled uniformly.
+// Returns 0 on success, 1 if an infinite rejection loop was detected
+// (no valid anchors), 2 if batch exceeds height or width (permutation
+// proposals need that many distinct values).
 int mccnn_sample_triplets(
     const float* gt, int64_t height, int64_t width,
     int64_t batch, uint64_t seed,
     double pos_dev, double neg_low, double neg_high,
     int64_t* rows, int64_t* cols, int64_t* pos_cols, int64_t* neg_cols) {
+  if (batch > height || batch > width) return 2;
   std::mt19937_64 rng(seed);
   std::uniform_int_distribution<int64_t> rand_row(0, height - 1);
   std::uniform_int_distribution<int64_t> rand_col(0, width - 1);
@@ -41,9 +68,13 @@ int mccnn_sample_triplets(
   std::uniform_real_distribution<double> uneg(neg_low, neg_high);
   std::uniform_int_distribution<int> coin(0, 1);
 
+  std::vector<int64_t> row_prop, col_prop;
+  partial_permutation(rng, height, batch, row_prop);
+  partial_permutation(rng, width, batch, col_prop);
+
   for (int64_t b = 0; b < batch; ++b) {
-    int64_t r = rand_row(rng);
-    int64_t c = rand_col(rng);
+    int64_t r = row_prop[b];
+    int64_t c = col_prop[b];
     // reject inf-disparity and occluded anchors
     int64_t guard = 0;
     while (true) {

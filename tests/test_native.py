@@ -28,7 +28,7 @@ def test_sample_triplets_constraints(rng):
     gt = _gt(rng)
     height, width = gt.shape
     rows, cols, pos_cols, neg_cols = native.sample_triplets(
-        gt, 256, 7, 0.5, 1.5, 6.0
+        gt, 32, 7, 0.5, 1.5, 6.0
     )
     assert ((rows >= 0) & (rows < height)).all()
     assert ((cols >= 0) & (cols < width)).all()
@@ -42,6 +42,24 @@ def test_sample_triplets_constraints(rng):
     assert ((neg_cols >= 0) & (neg_cols < width)).all()
     assert (np.abs(neg_cols - base) >= 1).all()
     assert (np.abs(neg_cols - base) <= 6).all()
+
+
+def test_sample_triplets_permutation_proposals(rng):
+    # With an all-valid GT map no anchor is resampled, so the initial
+    # permutation proposals survive: rows and cols must each be
+    # duplicate-free (reference src/datagenerator.py:162-163).
+    height, width = 40, 60
+    gt = np.zeros((height, width), dtype=np.float32)
+    for seed in range(5):
+        rows, cols, _, _ = native.sample_triplets(gt, 32, seed, 0.5, 1.5, 6.0)
+        assert len(np.unique(rows)) == 32
+        assert len(np.unique(cols)) == 32
+
+
+def test_sample_triplets_batch_larger_than_image_raises(rng):
+    gt = _gt(rng, height=16, width=60)
+    with pytest.raises(ValueError, match="permutation"):
+        native.sample_triplets(gt, 32, 0, 0.5, 1.5, 6.0)
 
 
 def test_sample_triplets_rejects_all_invalid():
