@@ -2,14 +2,26 @@
 
 Runs the complete pipeline (features -> cost volume -> CBCA(2) -> SGM ->
 CBCA(16) -> WTA -> LR -> subpixel -> median -> bilateral) with the paper's
-Middlebury hyperparameters on a synthetic half-res-scale pair
-(1000 x 1504, ndisp 200 — Middlebury v3 half-res is ~1500x1000 with ndisp
-up to ~200).
+Middlebury hyperparameters on a synthetic pair.
+
+Configs (--config):
+  half (default): 1000 x 1504, ndisp 200 — Middlebury v3 half-res scale.
+  quarter:        500 x 736, ndisp 100.
+  full:           2000 x 3008, ndisp 400 — full-res scale; runs the
+                  full-resolution schedule (bf16 volumes, d-chunked fused
+                  CBCA, sequential right-then-left volumes) so the ~6 MP /
+                  ndisp-400 problem fits one chip's HBM.
+  train:          training-step throughput (128-triplet batches).
 
 Baseline context (BASELINE.md): the reference publishes no numbers — its
 post-processing is per-pixel Python (days per pair at this size); the
 driver-defined target is < 5 s per half-res pair on one chip, i.e.
 0.3 MP/s. ``vs_baseline`` is measured MP/s over that 0.3 MP/s target.
+
+After the timed run the default config also executes an on-device parity
+check of the Pallas kernels against their XLA counterparts (guarding
+Mosaic-vs-interpret drift — the unit tests run the kernels in interpret
+mode on CPU) and prints one line per kernel to stderr.
 
 Prints exactly one JSON line on stdout.
 """
@@ -22,17 +34,7 @@ import time
 
 import numpy as np
 
-HEIGHT, WIDTH, NDISP = 1000, 1504, 200
-TARGET_MPS = (HEIGHT * WIDTH / 1e6) / 5.0  # the <5 s north-star
-LABEL = "halfres_full_pipeline_megapixels_per_s"
-
-
-def bench_quarter() -> None:
-    """Quarter-res-scale config (BASELINE.md config 1 analogue)."""
-    global HEIGHT, WIDTH, NDISP, LABEL
-    HEIGHT, WIDTH, NDISP = 500, 736, 100
-    LABEL = "quarterres_full_pipeline_megapixels_per_s"
-    main()
+TARGET_MPS = (1000 * 1504 / 1e6) / 5.0  # the <5 s half-res north-star
 
 
 def bench_train() -> None:
@@ -70,7 +72,52 @@ def bench_train() -> None:
     }))
 
 
-def main() -> None:
+def _parity_check() -> None:
+    """On-device Pallas-vs-XLA parity (Mosaic semantics, not interpret)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops.cbca import cbca, compute_arms
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+    from mccnn_tpu.ops.cost_volume import cost_volume_pair
+
+    rng = np.random.default_rng(1)
+    height, width, ndisp = 96, 256, 32
+    fl = rng.normal(size=(height, width, 64)).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=-1, keepdims=True)
+    fr = rng.normal(size=(height, width, 64)).astype(np.float32)
+    fr /= np.linalg.norm(fr, axis=-1, keepdims=True)
+
+    pall = jax.jit(lambda a, b: cost_volume_pair(a, b, ndisp, method="pallas"))
+    xla = jax.jit(lambda a, b: cost_volume_pair(a, b, ndisp, method="matmul"))
+    got = pall(jnp.asarray(fl), jnp.asarray(fr))
+    ref = xla(jnp.asarray(fl), jnp.asarray(fr))
+    for side, g, r in zip(("left", "right"), got, ref):
+        err = float(np.max(np.abs(np.asarray(g) - np.asarray(r))))
+        status = "OK" if err < 1e-4 else "FAIL"
+        print(f"parity band-kernel {side} vs xla: max abs err {err:.2e} "
+              f"[{status}]", file=sys.stderr)
+        if err >= 1e-4:
+            raise SystemExit(f"on-TPU parity failure: band {side}")
+
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    vol = np.asarray(got[0])
+    arms = jax.jit(lambda i: compute_arms(i, 0.02, 14))(jnp.asarray(image))
+    agg_f = jax.jit(lambda v, a: cbca_fused(v, a, 2, 14))
+    agg_x = jax.jit(lambda v, a: cbca(v, a, 2, 14))
+    gf = np.asarray(agg_f(jnp.asarray(vol), arms))
+    gx = np.asarray(agg_x(jnp.asarray(vol), arms))
+    err = float(np.max(np.abs(gf - gx) / (np.abs(gx) + 1e-3)))
+    status = "OK" if err < 1e-4 else "FAIL"
+    print(f"parity cbca-fused vs xla: max rel err {err:.2e} [{status}]",
+          file=sys.stderr)
+    if err >= 1e-4:
+        raise SystemExit("on-TPU parity failure: cbca_fused")
+
+
+def main(height: int = 1000, width: int = 1504, ndisp: int = 200,
+         label: str = "halfres_full_pipeline_megapixels_per_s",
+         match_kwargs: dict | None = None, parity: bool = True) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -79,16 +126,19 @@ def main() -> None:
     from mccnn_tpu.utils.config import MatchConfig
 
     config = MatchConfig()  # paper defaults: CBCA 2+16 iters, 4-dir SGM
+    match_kwargs = match_kwargs or {}
     params = init_params(jax.random.key(0))
     rng = np.random.default_rng(0)
-    base = rng.normal(size=(HEIGHT, WIDTH)).astype(np.float32)
+    base = rng.normal(size=(height, width)).astype(np.float32)
     left = jnp.asarray((base - base.mean()) / base.std())
     shifted = np.roll(base, -12, axis=1) + 0.05 * rng.normal(
-        size=(HEIGHT, WIDTH)
+        size=(height, width)
     ).astype(np.float32)
     right = jnp.asarray((shifted - shifted.mean()) / shifted.std())
 
-    fn = jax.jit(lambda p, l, r: match_pair(p, l, r, NDISP, config))
+    fn = jax.jit(
+        lambda p, l, r: match_pair(p, l, r, ndisp, config, **match_kwargs)
+    )
     # block_until_ready can be a no-op on tunneled platforms; a scalar
     # reduction fetched to host is the reliable sync
     sync = jax.jit(lambda d: jnp.sum(d))
@@ -110,21 +160,43 @@ def main() -> None:
 
     timed(1)  # warm the dispatch path
     best = min(timed(3) for _ in range(3))
-    mpix_per_s = HEIGHT * WIDTH / 1e6 / best
+    mpix_per_s = height * width / 1e6 / best
     print(f"steady-state: {best:.3f}s per pair ({mpix_per_s:.2f} MP/s)",
           file=sys.stderr)
 
+    if parity:
+        _parity_check()
+
     print(json.dumps({
-        "metric": LABEL,
+        "metric": label,
         "value": round(mpix_per_s, 4),
         "unit": "MP/s",
         "vs_baseline": round(mpix_per_s / TARGET_MPS, 4),
     }))
 
 
+def bench_quarter() -> None:
+    main(500, 736, 100, "quarterres_full_pipeline_megapixels_per_s",
+         parity=False)
+
+
+def bench_full() -> None:
+    """Full-res scale: the bf16 / d-chunked / sequential-volume schedule."""
+    main(
+        2000, 3008, 400, "fullres_full_pipeline_megapixels_per_s",
+        match_kwargs={
+            "cbca_impl": "fused",
+            "volume_dtype": "bfloat16",
+            "cbca_chunk_d": 128,
+        },
+        parity=False,
+    )
+
+
 if __name__ == "__main__":
     if "--config" in sys.argv:
         which = sys.argv[sys.argv.index("--config") + 1]
-        {"half": main, "quarter": bench_quarter, "train": bench_train}[which]()
+        {"half": main, "quarter": bench_quarter, "train": bench_train,
+         "full": bench_full}[which]()
     else:
         main()

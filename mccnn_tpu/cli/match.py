@@ -62,19 +62,37 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sgm_V", type=float, default=1.5)
     parser.add_argument("--blur_sigma", type=float, default=6)
     parser.add_argument("--blur_threshold", type=float, default=2)
+    parser.add_argument("--cbca_joint_regions", action="store_true",
+                        help="the paper's disparity-conditioned joint-region "
+                             "CBCA (shrinks each support region by the other "
+                             "image's regions at the correspondent pixel); "
+                             "present but disabled in the reference — "
+                             "substantially slower, see ops/cbca_joint.py")
     parser.add_argument("--sgm_paper_mode", action="store_true",
                         help="independent-direction SGM average instead of the "
                              "reference's chained in-place sweeps")
     parser.add_argument("--cost_volume_method", type=str, default="auto",
                         choices=["auto", "pallas", "matmul", "rolldot"])
     parser.add_argument("--cbca_impl", type=str, default="auto",
-                        choices=["auto", "mxu", "pallas", "xla"],
-                        help="CBCA aggregation backend. 'auto' picks 'mxu' "
-                             "on TPU: banded 0/1 matmuls with bf16 multiplies "
-                             "(~0.16%% mean relative deviation per stage; "
-                             "end-to-end bad-2.0 pinned within 0.5 pt). Use "
-                             "'xla' or 'pallas' for exact-f32, "
-                             "reference-matching output")
+                        choices=["auto", "mxu", "fused", "pallas", "xla"],
+                        help="CBCA aggregation backend. 'auto' picks the "
+                             "fast MXU path on TPU (bf16 multiplies, ~0.16%% "
+                             "mean relative deviation per stage; end-to-end "
+                             "bad-2.0 pinned within 0.5 pt); 'fused' is the "
+                             "VMEM-mask MXU kernel (no O(H*W*W) masks — "
+                             "required for full-res). Use 'xla' or 'pallas' "
+                             "for exact-f32, reference-matching output")
+    parser.add_argument("--volume_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="cost-volume storage dtype; bfloat16 halves "
+                             "volume HBM (DP/aggregation math stays f32) — "
+                             "the full-resolution memory mode, a documented "
+                             "numerical deviation")
+    parser.add_argument("--cbca_chunk_d", type=int, default=0,
+                        help="aggregate the disparity axis in chunks of this "
+                             "many lanes (0 = off); with --cbca_impl fused "
+                             "and --volume_dtype bfloat16 this bounds peak "
+                             "HBM for ~6 MP / ndisp-400 full-res scenes")
     parser.add_argument("--bucket", type=int, default=1,
                         help="pad images (edge-replicated) to multiples of "
                              "this to bound recompilation across scene "
@@ -103,6 +121,7 @@ def config_from_args(args) -> MatchConfig:
         blur_sigma=args.blur_sigma,
         blur_threshold=args.blur_threshold,
         sgm_paper_mode=args.sgm_paper_mode,
+        cbca_joint_regions=args.cbca_joint_regions,
     )
 
 
@@ -116,6 +135,8 @@ def main(argv=None) -> None:
         cost_volume_method=args.cost_volume_method,
         bucket=args.bucket,
         cbca_impl=args.cbca_impl,
+        volume_dtype=args.volume_dtype,
+        cbca_chunk_d=args.cbca_chunk_d,
     )
     logger = MetricsLogger(None)
 

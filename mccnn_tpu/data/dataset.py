@@ -87,3 +87,16 @@ class StereoDataset:
         """New epoch order (reference: src/datagenerator.py:127-134)."""
         if self.shuffle:
             self._order = self._rng.permutation(len(self.left_paths))
+        self._pointer = 0
+
+    def next_pair(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sequential (left, right, gt) iteration with an internal pointer
+        (reference: src/datagenerator.py:218-234 — unused by the
+        reference's own entry points, kept for API parity). Raises
+        IndexError past the end; ``reshuffle()`` resets the pointer."""
+        pointer = getattr(self, "_pointer", 0)
+        if pointer >= len(self):
+            raise IndexError("dataset exhausted; call reshuffle()")
+        triple = self.get(pointer)
+        self._pointer = pointer + 1
+        return triple

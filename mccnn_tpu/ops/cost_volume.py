@@ -47,7 +47,9 @@ def cost_volume_pair(
     d_pad: int | None = None,
     method: str = "matmul",
     row_chunk: int = 8,
-) -> Tuple[jax.Array, jax.Array]:
+    sides: str = "both",
+    dtype=None,
+) -> Tuple[jax.Array, jax.Array] | jax.Array:
     """Build the (left, right) cost volumes, border-filled and +inf-padded.
 
     Args:
@@ -56,31 +58,53 @@ def cost_volume_pair(
       d_pad: padded disparity depth (defaults to ndisp rounded to 128).
       method: "matmul" (MXU row-block correlation) or "rolldot" (VPU scan).
       row_chunk: rows per correlation matmul block for method="matmul".
+      sides: "both" (return tuple) or "left"/"right" — build only one
+        volume (the full-resolution schedule keeps at most one alive).
+      dtype: volume storage dtype (default float32; bfloat16 is the
+        full-resolution memory mode — the Pallas kernel casts in VMEM so
+        no f32 volume ever materializes).
 
     Returns:
-      (left, right) volumes of shape (H, W, d_pad), dtype float32; entries
-      at d >= ndisp hold BIG_COST.
+      (left, right) volumes — or one of them — of shape (H, W, d_pad);
+      entries at d >= ndisp hold BIG_COST.
     """
     height, width, _ = features_left.shape
     if ndisp > width:
         raise ValueError(f"ndisp ({ndisp}) must be <= image width ({width})")
     if d_pad is None:
         d_pad = pad_disparities(ndisp)
+    dtype = jnp.dtype(dtype) if dtype is not None else jnp.float32
 
     wgrid = column_iota(width)
     dgrid = disparity_iota(d_pad)
+    pad_lanes = dgrid < ndisp
 
+    scores_left = scores_right = None
     if method == "pallas":
         from mccnn_tpu.ops.cost_volume_pallas import band_pair_pallas
 
-        scores_left, scores_right = band_pair_pallas(
-            features_left, features_right, d_pad
-        )
         # the kernel's zero padding already zeroes out-of-range entries;
         # zero the disparity-pad lanes for parity with the masked paths
-        pad_lanes = dgrid < ndisp
-        scores_left = jnp.where(pad_lanes, scores_left, 0.0)
-        scores_right = jnp.where(pad_lanes, scores_right, 0.0)
+        if sides == "both":
+            scores_left, scores_right = band_pair_pallas(
+                features_left, features_right, d_pad, out_dtype=dtype
+            )
+            scores_left = jnp.where(pad_lanes, scores_left, 0.0)
+            scores_right = jnp.where(pad_lanes, scores_right, 0.0)
+        elif sides == "left":
+            scores_left = jnp.where(
+                pad_lanes,
+                band_pair_pallas(features_left, features_right, d_pad,
+                                 sides="left", out_dtype=dtype),
+                0.0,
+            )
+        else:
+            scores_right = jnp.where(
+                pad_lanes,
+                band_pair_pallas(features_left, features_right, d_pad,
+                                 sides="right", out_dtype=dtype),
+                0.0,
+            )
     else:
         if method == "matmul":
             scores_left = _left_scores_matmul(
@@ -94,16 +118,24 @@ def cost_volume_pair(
             raise ValueError(f"unknown cost-volume method: {method}")
 
         # zero the w < d band and the disparity padding before the fills
-        valid = (wgrid >= dgrid) & (dgrid < ndisp)
-        scores_left = jnp.where(valid, scores_left, 0.0)
-        scores_right = _right_from_left(scores_left, ndisp)
+        valid = (wgrid >= dgrid) & pad_lanes
+        scores_left = jnp.where(valid, scores_left, 0.0).astype(dtype)
+        if sides != "left":
+            scores_right = _right_from_left(scores_left, ndisp)
+        if sides == "right":
+            scores_left = None
 
-    scores_left = _border_fill_left(scores_left, ndisp)
-    scores_right = _border_fill_right(scores_right, ndisp)
-
-    pad_mask = dgrid < ndisp
-    left = jnp.where(pad_mask, -scores_left, BIG_COST)
-    right = jnp.where(pad_mask, -scores_right, BIG_COST)
+    big = jnp.asarray(BIG_COST, dtype)
+    if scores_left is not None:
+        scores_left = _border_fill_left(scores_left, ndisp)
+        left = jnp.where(pad_lanes, -scores_left, big)
+        if sides == "left":
+            return left
+    if scores_right is not None:
+        scores_right = _border_fill_right(scores_right, ndisp)
+        right = jnp.where(pad_lanes, -scores_right, big)
+        if sides == "right":
+            return right
     return left, right
 
 
@@ -209,7 +241,7 @@ def _border_fill_left(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arra
         valid = d + jnp.arange(3, dtype=jnp.int32) < width
         mean = _masked_mean3(cols, valid)
         old = lax.index_in_dim(block, local, axis=1, keepdims=False)
-        new_col = jnp.where(dgrid >= d, mean, old)
+        new_col = jnp.where(dgrid >= d, mean, old).astype(block.dtype)
         return lax.dynamic_update_index_in_dim(block, new_col, local, axis=1)
 
     total = ndisp - 1  # fill steps, d = ndisp-1 .. 1
@@ -254,7 +286,7 @@ def _border_fill_right(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arr
         valid = width - d - 3 + jnp.arange(3, dtype=jnp.int32) >= 0
         mean = _masked_mean3(cols, valid)
         old = lax.index_in_dim(block, local, axis=1, keepdims=False)
-        new_col = jnp.where(dgrid >= d, mean, old)
+        new_col = jnp.where(dgrid >= d, mean, old).astype(block.dtype)
         return lax.dynamic_update_index_in_dim(block, new_col, local, axis=1)
 
     total = ndisp - 1

@@ -100,9 +100,13 @@ def _band_kernel(
     for v in range(tile_d):
         # disparity d = d0 + v; fR shifted right by d within the context
         shifted_r = fr_ctx[:, :, tile_d - v: tile_d - v + tile_w]
-        out_l_ref[:, v, :] = jnp.sum(anchor_l * shifted_r, axis=1)
+        out_l_ref[:, v, :] = jnp.sum(
+            anchor_l * shifted_r, axis=1
+        ).astype(out_l_ref.dtype)
         shifted_l = fl_ctx[:, :, v: v + tile_w]
-        out_r_ref[:, v, :] = jnp.sum(anchor_r * shifted_l, axis=1)
+        out_r_ref[:, v, :] = jnp.sum(
+            anchor_r * shifted_l, axis=1
+        ).astype(out_r_ref.dtype)
 
 
 def _skew_rows(matrix: jax.Array, num_rows: int) -> jax.Array:
@@ -190,10 +194,69 @@ def _band_kernel_mxu(
         # = corr_l[u, u+t]); the reversed tile index map plus one XLA-level
         # flip of the d axis in the wrapper restores the order.
         skewed_l = _skew_rows(corr_l, tile_w)
-        out_l_ref[h, :, :] = skewed_l[:, 1: tile_d + 1]
+        out_l_ref[h, :, :] = skewed_l[:, 1: tile_d + 1].astype(out_l_ref.dtype)
         # right band: out[u, v] = corr_r[u, u + v]
         skewed_r = _skew_rows(corr_r, tile_w)
-        out_r_ref[h, :, :] = skewed_r[:, :tile_d]
+        out_r_ref[h, :, :] = skewed_r[:, :tile_d].astype(out_r_ref.dtype)
+
+
+def _band_kernel_mxu_one(
+    fl_hbm,   # (Hp, C, Wpad) left features, channel-major, zero-padded W
+    fr_hbm,   # (Hp, C, Wpad)
+    out_ref,  # (TH, TW, TD)
+    anchor_tile,  # scratch (TH, C, TW)
+    ctx_tile,     # scratch (TH, C, TW + TD)
+    sems,
+    *,
+    tile_h: int,
+    tile_w: int,
+    tile_d: int,
+    d_total: int,
+    side: str,
+):
+    """Single-band variant of ``_band_kernel_mxu``: half the DMA traffic,
+    matmuls, and output writes — used when the pipeline builds one volume
+    at a time to halve peak HBM (the full-resolution schedule)."""
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    j = pl.program_id(2)
+    row0 = i * tile_h
+    anchor0 = pl.multiple_of(j * tile_w + d_total, 128)
+    if side == "left":
+        anchor_hbm, ctx_hbm = fl_hbm, fr_hbm
+        ctx0 = pl.multiple_of(j * tile_w - k * tile_d + d_total - tile_d, 128)
+    else:
+        anchor_hbm, ctx_hbm = fr_hbm, fl_hbm
+        ctx0 = pl.multiple_of(j * tile_w + k * tile_d + d_total, 128)
+
+    copies = [
+        pltpu.make_async_copy(
+            anchor_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
+            anchor_tile, sems.at[0],
+        ),
+        pltpu.make_async_copy(
+            ctx_hbm.at[pl.ds(row0, tile_h), :, pl.ds(ctx0, tile_w + tile_d)],
+            ctx_tile, sems.at[1],
+        ),
+    ]
+    for copy in copies:
+        copy.start()
+    for copy in copies:
+        copy.wait()
+
+    for h in range(tile_h):
+        corr = jax.lax.dot_general(
+            anchor_tile[h, :, :], ctx_tile[h, :, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TW, TW + TD)
+        skewed = _skew_rows(corr, tile_w)
+        if side == "left":
+            # written disparity-reversed, undone by tile map + one flip
+            out_ref[h, :, :] = skewed[:, 1: tile_d + 1].astype(out_ref.dtype)
+        else:
+            out_ref[h, :, :] = skewed[:, :tile_d].astype(out_ref.dtype)
 
 
 def band_pair_pallas(
@@ -205,13 +268,18 @@ def band_pair_pallas(
     tile_d: int = 128,
     interpret: bool | None = None,
     use_mxu: bool = True,
-) -> Tuple[jax.Array, jax.Array]:
+    sides: str = "both",
+    out_dtype=None,
+) -> Tuple[jax.Array, jax.Array] | jax.Array:
     """(H, W, C) feature pair -> raw (left, right) score bands (H, W, d_pad).
 
     Out-of-range entries are 0; no disparity-pad masking or border fills
     (cost_volume.cost_volume_pair applies those). ``use_mxu`` selects the
     matmul+log-skew kernel (default; the systolic array does the dots)
-    over the shifted multiply-reduce VPU kernel.
+    over the shifted multiply-reduce VPU kernel. ``sides`` = "both" returns
+    the tuple; "left"/"right" computes and returns only that band (half the
+    work and peak memory — the full-res schedule). ``out_dtype`` casts the
+    band inside the kernel (bf16 volumes never materialize in f32).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -231,6 +299,48 @@ def band_pair_pallas(
 
     fl = prep(features_left)
     fr = prep(features_right)
+    out_dtype = out_dtype or features_left.dtype
+
+    if sides != "both":
+        if not use_mxu:
+            raise ValueError("single-side bands require the MXU kernel")
+        grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
+        num_d_tiles = d_total // tile_d
+        kernel = functools.partial(
+            _band_kernel_mxu_one,
+            tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
+            side=sides,
+        )
+        if sides == "left":
+            out_spec = pl.BlockSpec(
+                (tile_h, tile_w, tile_d),
+                lambda i, k, j: (i, j, num_d_tiles - 1 - k),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            out_spec = pl.BlockSpec(
+                (tile_h, tile_w, tile_d), lambda i, k, j: (i, j, k),
+                memory_space=pltpu.VMEM,
+            )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((hp, wp, d_total), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
+                pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(fl, fr)
+        if sides == "left":
+            out = jnp.flip(out, axis=2)
+        return out[:height, :width, :d_pad]
 
     if use_mxu:
         grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
@@ -239,8 +349,7 @@ def band_pair_pallas(
             _band_kernel_mxu,
             tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
         )
-        out_shape = jax.ShapeDtypeStruct((hp, wp, d_total),
-                                         features_left.dtype)
+        out_shape = jax.ShapeDtypeStruct((hp, wp, d_total), out_dtype)
         # left tiles are written disparity-reversed (see kernel); reversing
         # the tile placement too makes the whole d axis reversed, undone by
         # one flip below
@@ -256,8 +365,7 @@ def band_pair_pallas(
             _band_kernel,
             tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
         )
-        out_shape = jax.ShapeDtypeStruct((hp, d_total, wp),
-                                         features_left.dtype)
+        out_shape = jax.ShapeDtypeStruct((hp, d_total, wp), out_dtype)
         out_l_spec = out_r_spec = pl.BlockSpec(
             (tile_h, tile_d, tile_w), lambda i, k, j: (i, k, j),
             memory_space=pltpu.VMEM,

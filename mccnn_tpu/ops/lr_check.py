@@ -61,7 +61,12 @@ def _nearest_strict(values, seen, axis: int, toward_end: bool):
 def classify(
     left_disparity: jax.Array, right_disparity: jax.Array, ndisp: int
 ) -> jax.Array:
-    """(H, W) int32 status map: 0 = match, 1 = mismatch, 2 = occlusion."""
+    """(H, W) int32 status map: 0 = match, 1 = mismatch, 2 = occlusion.
+
+    Inputs are WTA disparity maps, which are integer-valued (the reference
+    calls this stage before any subpixel refinement; the mismatch
+    reprojection below relies on that integrality).
+    """
     height, width = left_disparity.shape
     cols = jnp.arange(width, dtype=jnp.int32)[None, :]
     d_left = left_disparity.astype(jnp.int32)
@@ -74,15 +79,25 @@ def classify(
     )
 
     # exists d in [0, min(w+1, ndisp)) with |d - dR(h, w-d)| <= 1 ?
-    # shift-scan over d instead of a (H, W, ndisp) banded gather
-    def probe_one(d, any_agree):
-        shifted = jnp.roll(right_disparity, d, axis=1)
-        agree = (jnp.abs(d.astype(jnp.float32) - shifted) <= 1.0) & (cols >= d)
-        return any_agree | agree
-
-    mismatch = lax.fori_loop(
-        0, ndisp, probe_one, jnp.zeros_like(left_disparity, dtype=bool)
+    # Reprojection scatter instead of an O(ndisp) roll loop: with
+    # integer-valued dR (WTA output), |d - dR(w')| <= 1 at w' = w - d means
+    # d in {dR(w')-1, dR(w'), dR(w')+1}, i.e. column w' "explains" exactly
+    # the columns w = w' + dR(w') + delta, delta in {-1, 0, +1}, subject to
+    # 0 <= dR+delta < ndisp (and w' >= 0, automatic). Three scatters mark
+    # all explained columns — O(H*W) total instead of O(H*W*ndisp).
+    dr_int = right_disparity.astype(jnp.int32)
+    rows2 = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.int32)[:, None], (height, width)
     )
+    mismatch_marks = jnp.zeros((height, width), dtype=jnp.int32)
+    for delta in (-1, 0, 1):
+        d_cand = dr_int + delta
+        valid = (d_cand >= 0) & (d_cand < ndisp)
+        target = jnp.where(valid, cols + d_cand, width)  # width => dropped
+        mismatch_marks = mismatch_marks.at[rows2, target].max(
+            valid.astype(jnp.int32), mode="drop"
+        )
+    mismatch = mismatch_marks.astype(bool)
 
     return jnp.where(
         no_correspondence,

@@ -173,9 +173,13 @@ def _sweep(
     perp = volume.shape[1 - axis]
     inv_q1 = 1.0 / config.sgm_q1
     inv_q2 = 1.0 / config.sgm_q2
-    big = jnp.full((perp, 1), BIG_COST, dtype=volume.dtype)
+    # DP math runs in f32 regardless of the volume storage dtype (bf16
+    # volumes are the full-resolution memory mode); lines are cast back to
+    # the storage dtype when written into the carried volume.
+    big = jnp.full((perp, 1), BIG_COST, dtype=jnp.float32)
 
     def dp_line(prev, cur, b1, b2):
+        cur = cur.astype(jnp.float32)
         scale = jnp.where(
             b1[:, None] & b2,
             1.0,
@@ -208,7 +212,9 @@ def _sweep(
             lines.append(prev)
         if not forward:
             lines = lines[::-1]
-        new_block = jnp.moveaxis(jnp.stack(lines, axis=0), 0, axis)
+        new_block = jnp.moveaxis(
+            jnp.stack(lines, axis=0).astype(vol.dtype), 0, axis
+        )
         vol = lax.dynamic_update_slice_in_dim(vol, new_block, chunk_start,
                                               axis=axis)
         return (vol, prev), None
@@ -217,7 +223,9 @@ def _sweep(
     interior = size - 1
     remainder = interior % chunk
     first = 0 if forward else size - 1
-    prev = lax.index_in_dim(volume, first, axis=axis, keepdims=False)
+    prev = lax.index_in_dim(
+        volume, first, axis=axis, keepdims=False
+    ).astype(jnp.float32)
 
     # prologue: a few single-line static steps until the rest is chunkable
     prologue = (
@@ -232,7 +240,9 @@ def _sweep(
             lax.index_in_dim(small_d1, idx, axis=axis, keepdims=False),
             lax.index_in_dim(small_d2, idx, axis=axis, keepdims=False),
         )
-        volume = lax.dynamic_update_index_in_dim(volume, prev, idx, axis=axis)
+        volume = lax.dynamic_update_index_in_dim(
+            volume, prev.astype(volume.dtype), idx, axis=axis
+        )
 
     num_chunks = interior // chunk
     if num_chunks == 0:

@@ -3,11 +3,15 @@
 The cost volume is the memory scaling problem (2 volumes x ndisp x H x W
 floats; the reference's only answer was a commented-out quadrant fallback,
 reference: src/process_functional.py:46-60). Here the volumes are sharded
-over rows (the 'data'/spatial axis): cost-volume construction, CBCA and WTA
-partition cleanly (GSPMD inserts halo exchanges for the cross-arm gathers);
-horizontal SGM sweeps are embarrassingly parallel across row shards, and
-vertical sweeps reshard — XLA inserts the collectives from the sharding
-constraints alone.
+over rows (the 'data'/spatial axis): cost-volume construction and CBCA run
+the single-chip Pallas kernels per shard via shard_map (explicit ppermute
+halo exchange — see parallel/pallas_shard.py), while SGM sweeps, WTA and
+postprocessing partition under GSPMD from the sharding constraints alone
+(horizontal sweeps are embarrassingly parallel across row shards; vertical
+sweeps reshard). Multi-chip therefore keeps single-chip kernel performance.
+
+Pass ``cost_volume_method="matmul"`` / ``cbca_impl="xla"`` to fall back to
+the fully GSPMD-partitioned XLA implementations.
 """
 
 from __future__ import annotations
@@ -24,21 +28,31 @@ def make_sharded_match(
     config: MatchConfig,
     mesh: Mesh,
     axis: str = "data",
-    cost_volume_method: str = "matmul",
-    cbca_impl: str = "xla",
+    cost_volume_method: str = "pallas",
+    cbca_impl: str = "fused",
+    volume_dtype: str = "float32",
 ):
-    """Jitted (params, left, right) -> disparity with row-sharded volumes.
-
-    Uses the pure-XLA op implementations: GSPMD partitions XLA ops
-    automatically from the sharding constraints, whereas the Pallas
-    manual-DMA kernels are single-device programs (sharding them needs a
-    shard_map wrapper — future work).
-    """
+    """Jitted (params, left, right) -> disparity with row-sharded volumes."""
     volume_sharding = NamedSharding(mesh, P(axis, None, None))
     image_sharding = NamedSharding(mesh, P(axis, None))
 
     def constrain(volume):
         return jax.lax.with_sharding_constraint(volume, volume_sharding)
+
+    cost_volume_fn = None
+    cbca_fn = None
+    if cost_volume_method == "pallas":
+        from mccnn_tpu.parallel.pallas_shard import make_sharded_cost_volume_fn
+
+        cost_volume_fn = make_sharded_cost_volume_fn(
+            ndisp, mesh, axis, dtype=volume_dtype
+        )
+    if cbca_impl in ("fused", "pallas"):
+        from mccnn_tpu.parallel.pallas_shard import make_sharded_cbca_fn
+
+        cbca_fn = make_sharded_cbca_fn(
+            int(config.cbca_distance), mesh, axis, impl=cbca_impl
+        )
 
     @jax.jit
     def sharded_match(params, left_image, right_image):
@@ -53,6 +67,9 @@ def make_sharded_match(
             cost_volume_method,
             constrain=constrain,
             cbca_impl=cbca_impl,
+            volume_dtype=volume_dtype,
+            cost_volume_fn=cost_volume_fn,
+            cbca_fn=cbca_fn,
         )
 
     return sharded_match

@@ -18,6 +18,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from mccnn_tpu.models.net import Params, extract_features
 from mccnn_tpu.ops.cbca import cbca, compute_arms
@@ -39,6 +40,10 @@ def match_pair(
     cost_volume_method: str = "auto",
     constrain=None,
     cbca_impl: str = "auto",
+    volume_dtype: str = "float32",
+    cbca_chunk_d: int = 0,
+    cost_volume_fn=None,
+    cbca_fn=None,
 ) -> jax.Array:
     """(H, W) standardized image pair -> (H, W) float32 disparity map.
 
@@ -50,6 +55,19 @@ def match_pair(
     "auto" methods pick the Pallas kernels on TPU (the gather-free band
     kernel and the fused CBCA iteration kernel) and the pure-XLA paths on
     other backends.
+
+    ``volume_dtype="bfloat16"`` stores the cost volumes in bf16 (DP math
+    and CBCA accumulation stay f32) and ``cbca_chunk_d=128`` aggregates
+    the disparity axis in chunks — together these bound peak HBM at
+    ~2.5 volume-chunks, which is what fits a ~6 MP / ndisp-400 pair on one
+    chip (the full-resolution schedule; see BASELINE.md).
+
+    ``cost_volume_fn(features_left, features_right, sides)`` and
+    ``cbca_fn(volume, arms, iterations)``, when given, override the
+    selected implementations — the hook mccnn_tpu.parallel.match uses to
+    substitute shard_map-wrapped Pallas kernels (manual-DMA kernels are
+    single-device programs; GSPMD cannot partition them, but shard_map
+    runs them per shard with explicit halo exchange).
     """
     on_tpu = jax.default_backend() == "tpu"
     if cost_volume_method == "auto":
@@ -61,22 +79,35 @@ def match_pair(
         cbca_impl = "mxu" if on_tpu else "xla"
     if constrain is None:
         constrain = lambda v: v  # noqa: E731
+    vdtype = jnp.dtype(volume_dtype)
     features_left = extract_features(params, left_image)
     features_right = extract_features(params, right_image)
-
-    left_volume, right_volume = cost_volume_pair(
-        features_left, features_right, ndisp, method=cost_volume_method
-    )
-    left_volume = constrain(left_volume)
-    right_volume = constrain(right_volume)
 
     distance = int(config.cbca_distance)
     if cbca_impl == "pallas":
         from mccnn_tpu.ops.cbca_pallas import cbca_pallas as aggregate
     elif cbca_impl == "mxu":
         from mccnn_tpu.ops.cbca_mxu import cbca_mxu as aggregate
+    elif cbca_impl == "fused":
+        from mccnn_tpu.ops.cbca_fused import cbca_fused as aggregate
     else:
         aggregate = cbca
+
+    def run_cbca(volume, arms, iterations, kwargs):
+        d_pad = volume.shape[2]
+        if not cbca_chunk_d or d_pad <= cbca_chunk_d:
+            return aggregate(volume, arms, iterations, distance, **kwargs)
+        if d_pad % cbca_chunk_d:
+            raise ValueError("cbca_chunk_d must divide the padded depth")
+        # aggregation is independent per disparity: chunking the d axis
+        # caps the round double-buffer at chunk size (full-res memory)
+        def body(c, vol):
+            start = c * cbca_chunk_d
+            block = lax.dynamic_slice_in_dim(vol, start, cbca_chunk_d, axis=2)
+            block = aggregate(block, arms, iterations, distance, **kwargs)
+            return lax.dynamic_update_slice_in_dim(vol, block, start, axis=2)
+
+        return lax.fori_loop(0, d_pad // cbca_chunk_d, body, volume)
 
     def process_volume(volume, image, choice):
         """CBCA(iters1) -> SGM -> CBCA(iters2) for one volume.
@@ -87,28 +118,71 @@ def match_pair(
         """
         arms = compute_arms(image, config.cbca_intensity, distance)
         kwargs = {}
-        if cbca_impl == "mxu":
+        aggregate_fn = run_cbca
+        if cbca_fn is not None:
+            def aggregate_fn(volume, arms, iterations, kwargs):
+                return cbca_fn(volume, arms, iterations)
+        elif config.cbca_joint_regions:
+            from mccnn_tpu.ops.cbca_joint import cbca_joint
+
+            other = right_image if choice == "L" else left_image
+            arms_other = compute_arms(other, config.cbca_intensity, distance)
+
+            def aggregate_fn(volume, arms, iterations, kwargs):
+                return cbca_joint(volume, arms, arms_other, iterations,
+                                  distance, ndisp, choice)
+        elif cbca_impl == "mxu":
             from mccnn_tpu.ops.cbca_mxu import build_masks
 
             kwargs["masks"] = build_masks(arms)
         volume = constrain(
-            aggregate(volume, arms, config.cbca_num_iterations_1, distance,
-                      **kwargs)
+            aggregate_fn(volume, arms, config.cbca_num_iterations_1, kwargs)
         )
         volume = constrain(
             _sgm_one_volume(volume, left_image, right_image, choice, ndisp,
                             config)
         )
         return constrain(
-            aggregate(volume, arms, config.cbca_num_iterations_2, distance,
-                      **kwargs)
+            aggregate_fn(volume, arms, config.cbca_num_iterations_2, kwargs)
         )
 
-    left_volume = process_volume(left_volume, left_image, "L")
-    right_volume = process_volume(right_volume, right_image, "R")
+    if cost_volume_method == "pallas" or cost_volume_fn is not None:
+        if cost_volume_fn is None:
+            def cost_volume_fn(fl, fr, sides):
+                return cost_volume_pair(fl, fr, ndisp, method="pallas",
+                                        sides=sides, dtype=vdtype)
 
-    left_disparity = wta_disparity(left_volume)
-    right_disparity = wta_disparity(right_volume)
+        # Build and process one volume at a time, right first: the right
+        # volume reduces to its disparity map before the left volume (which
+        # stays live through LR-interpolation and subpixel) materializes.
+        # The barrier forces that schedule, pinning peak HBM at one volume
+        # plus one round double-buffer — the full-resolution budget.
+        right_volume = constrain(
+            cost_volume_fn(features_left, features_right, "right")
+        )
+        right_volume = process_volume(right_volume, right_image, "R")
+        right_disparity = wta_disparity(right_volume)
+        features_left, features_right, right_disparity = (
+            lax.optimization_barrier(
+                (features_left, features_right, right_disparity)
+            )
+        )
+        left_volume = constrain(
+            cost_volume_fn(features_left, features_right, "left")
+        )
+        left_volume = process_volume(left_volume, left_image, "L")
+        left_disparity = wta_disparity(left_volume)
+    else:
+        left_volume, right_volume = cost_volume_pair(
+            features_left, features_right, ndisp,
+            method=cost_volume_method, dtype=vdtype,
+        )
+        left_volume = constrain(left_volume)
+        right_volume = constrain(right_volume)
+        left_volume = process_volume(left_volume, left_image, "L")
+        right_volume = process_volume(right_volume, right_image, "R")
+        left_disparity = wta_disparity(left_volume)
+        right_disparity = wta_disparity(right_volume)
 
     disparity = lr_consistency_interpolate(left_disparity, right_disparity, ndisp)
     disparity = subpixel_enhance(disparity, left_volume, ndisp)
@@ -149,12 +223,16 @@ class MatchPipeline:
         cost_volume_method: str = "auto",
         bucket: int = 64,
         cbca_impl: str = "auto",
+        volume_dtype: str = "float32",
+        cbca_chunk_d: int = 0,
     ):
         self.params = jax.tree.map(jnp.asarray, params)
         self.config = config
         self.cost_volume_method = cost_volume_method
         self.cbca_impl = cbca_impl
         self.bucket = bucket
+        self.volume_dtype = volume_dtype
+        self.cbca_chunk_d = cbca_chunk_d
         self._compiled: Dict[Tuple[int, int, int], object] = {}
 
     def _get_fn(self, height: int, width: int, ndisp: int):
@@ -164,6 +242,8 @@ class MatchPipeline:
                 lambda p, l, r: match_pair(
                     p, l, r, ndisp, self.config, self.cost_volume_method,
                     cbca_impl=self.cbca_impl,
+                    volume_dtype=self.volume_dtype,
+                    cbca_chunk_d=self.cbca_chunk_d,
                 )
             )
         return self._compiled[key]

@@ -54,6 +54,10 @@ class MatchConfig:
     median_filter_size: int = 5
     bilateral_filter_size: int = 5
     sgm_paper_mode: bool = False
+    # the paper's disparity-conditioned joint-region CBCA (present but
+    # disabled in the reference, src/process_functional.py:122-144,661-729);
+    # see ops/cbca_joint.py for the semantics and documented deviations
+    cbca_joint_regions: bool = False
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)

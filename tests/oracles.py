@@ -279,3 +279,53 @@ def bilateral_oracle(image, disp, fh, fw, mean, sigma, threshold):
             weights = ker * mask
             out[h, w] = np.sum(weights * win) / np.sum(weights)
     return out
+
+
+def joint_regions_oracle(regions_self, regions_other, d, choice, width):
+    """Disparity-conditioned region filtering — the paper-INTENDED semantics
+    of the reference's disabled compute_disparity_union_region
+    (spec: :661-729). The reference's literal code cannot execute (NameError
+    ``d__union_region`` at :686) and its membership test compares
+    coordinates elementwise (``region[region == pos]``) rather than as
+    pairs; this oracle implements pair membership (see PARITY.md)."""
+    out = {}
+    for (h, w), members in regions_self.items():
+        no_corr = (w < d) if choice == "L" else (w + d >= width)
+        if no_corr:
+            out[(h, w)] = list(members)
+            continue
+        corr = (h, w - d) if choice == "L" else (h, w + d)
+        other = set(regions_other[corr])
+        kept = []
+        for (h_, w_) in members:
+            if choice == "L":
+                if w_ < d or (h_, w_ - d) in other:
+                    kept.append((h_, w_))
+            else:
+                if w_ + d >= width or (h_, w_ + d) in other:
+                    kept.append((h_, w_))
+        out[(h, w)] = kept
+    return out
+
+
+def joint_cbca_oracle(volume, regions_self, regions_other, iterations, choice):
+    """Iterated averaging over the disparity-conditioned joint regions
+    (spec: :146-182 applied to the :661-729 regions)."""
+    ndisp, height, width = volume.shape
+    regions_per_d = [
+        joint_regions_oracle(regions_self, regions_other, d, choice, width)
+        for d in range(ndisp)
+    ]
+    out = volume.astype(np.float64)
+    for _ in range(iterations):
+        nxt = np.empty_like(out)
+        for d in range(ndisp):
+            for h in range(height):
+                for w in range(width):
+                    members = regions_per_d[d][(h, w)]
+                    acc = 0.0
+                    for qh, qw in members:
+                        acc += out[d, qh, qw]
+                    nxt[d, h, w] = acc / len(members)
+        out = nxt
+    return out.astype(np.float32)

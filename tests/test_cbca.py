@@ -79,3 +79,33 @@ def test_cbca_zero_iterations_is_identity(rng):
     volume = _pad_volume(rng.normal(size=(3, 5, 6)).astype(np.float32))
     arms = compute_arms(jnp.asarray(image), 0.5, 3)
     np.testing.assert_array_equal(np.asarray(cbca(jnp.asarray(volume), arms, 0)), volume)
+
+
+@pytest.mark.parametrize("choice", ["L", "R"])
+@pytest.mark.parametrize("iterations", [1, 2])
+def test_cbca_joint_regions_matches_oracle(rng, choice, iterations):
+    from mccnn_tpu.ops.cbca_joint import cbca_joint
+
+    from oracles import joint_cbca_oracle
+
+    height, width, ndisp = 10, 14, 4
+    tau, dist = 0.8, 3
+    left = rng.normal(size=(height, width)).astype(np.float32)
+    right = rng.normal(size=(height, width)).astype(np.float32)
+    ref_volume = rng.normal(size=(ndisp, height, width)).astype(np.float32)
+
+    self_img, other_img = (left, right) if choice == "L" else (right, left)
+    arms_self = compute_arms(jnp.asarray(self_img), tau, dist)
+    arms_other = compute_arms(jnp.asarray(other_img), tau, dist)
+    ours = cbca_joint(
+        jnp.asarray(_pad_volume(ref_volume)), arms_self, arms_other,
+        iterations, dist, ndisp, choice,
+    )
+    ours_ref_layout = np.moveaxis(np.asarray(ours)[:, :, :ndisp], -1, 0)
+
+    regions_self = cross_regions_oracle(self_img, tau, dist)
+    regions_other = cross_regions_oracle(other_img, tau, dist)
+    expected = joint_cbca_oracle(
+        ref_volume, regions_self, regions_other, iterations, choice
+    )
+    np.testing.assert_allclose(ours_ref_layout, expected, rtol=1e-4, atol=1e-4)

@@ -71,3 +71,37 @@ def test_minimal_width_regime(rng):
     np.testing.assert_allclose(
         _to_reference_layout(right, ndisp), oracle_r, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+def test_single_side_matches_pair(rng, side):
+    fl = _unit_features(rng, 5, 40, channels=16)
+    fr = _unit_features(rng, 5, 40, channels=16)
+    pair = cost_volume_pair(jnp.asarray(fl), jnp.asarray(fr), 12,
+                            method="pallas")
+    single = cost_volume_pair(jnp.asarray(fl), jnp.asarray(fr), 12,
+                              method="pallas", sides=side)
+    expected = pair[0] if side == "left" else pair[1]
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(expected), atol=1e-6
+    )
+
+
+def test_bf16_volume_dtype_and_values(rng):
+    fl = _unit_features(rng, 5, 40, channels=16)
+    fr = _unit_features(rng, 5, 40, channels=16)
+    left32, right32 = cost_volume_pair(jnp.asarray(fl), jnp.asarray(fr), 12,
+                                       method="pallas")
+    left16, right16 = cost_volume_pair(jnp.asarray(fl), jnp.asarray(fr), 12,
+                                       method="pallas", dtype=jnp.bfloat16)
+    assert left16.dtype == jnp.bfloat16 and right16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(left16[:, :, :12]).astype(np.float32),
+        np.asarray(left32[:, :, :12]), rtol=0.02, atol=0.02,
+    )
+    np.testing.assert_allclose(
+        np.asarray(right16[:, :, :12]).astype(np.float32),
+        np.asarray(right32[:, :, :12]), rtol=0.02, atol=0.02,
+    )
+    assert np.all(np.asarray(left16[:, :, 12:]).astype(np.float32)
+                  > 0.5 * BIG_COST)

@@ -1,3 +1,13 @@
+"""Multi-host scene-sharding assignment logic.
+
+Scope note: these tests cover only the pure-Python strided-assignment
+arithmetic. ``initialize_distributed`` (the ``jax.distributed.initialize``
+wrapper in mccnn_tpu/parallel/multihost.py) cannot be exercised in this
+single-host environment — no JAX multi-process runtime is spun up here,
+so the DCN path is validated only by the thin-wrapper code review and by
+the assignment contract below.
+"""
+
 from mccnn_tpu.parallel.multihost import process_slice, shard_scenes
 
 

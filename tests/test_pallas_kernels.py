@@ -85,3 +85,66 @@ def test_cbca_mxu_matches_exact_within_bf16(rng):
     real = exact[:, :, :ndisp]
     np.testing.assert_allclose(fast[:, :, :ndisp], real, rtol=0.05, atol=0.05)
     assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
+
+
+@pytest.mark.parametrize("phase1", ["vpu", "mxu"])
+@pytest.mark.parametrize("iterations,dist", [(1, 14), (2, 4)])
+def test_cbca_fused_matches_xla(rng, iterations, dist, phase1):
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+    # big enough that the kernel path (not the tiny-shape fallback) runs,
+    # non-multiples of the tiles so clamped border blocks are exercised
+    height, width, ndisp = 52, 150, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    tau = 0.8
+    arms = compute_arms(jnp.asarray(image), tau, dist)
+
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, iterations, dist))
+    ours = np.asarray(
+        cbca_fused(jnp.asarray(volume), arms, iterations, dist,
+                   interpret=True, phase1=phase1)
+    )
+    assert ours.shape == volume.shape
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_cbca_fused_bf16_matches_f32_within_tolerance(rng):
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+    height, width, ndisp = 52, 150, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 14)
+
+    exact = np.asarray(cbca(jnp.asarray(volume), arms, 2, 14))
+    fast = np.asarray(
+        cbca_fused(
+            jnp.asarray(volume).astype(jnp.bfloat16), arms, 2, 14,
+            interpret=True,
+        )
+    ).astype(np.float32)
+    # one bf16 quantization of the volume per round (mid sums stay f32)
+    np.testing.assert_allclose(
+        fast[:, :, :ndisp], exact[:, :, :ndisp], rtol=0.05, atol=0.05
+    )
+    assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
+
+
+def test_cbca_fused_tiny_shape_falls_back_to_xla(rng):
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+    height, width, ndisp = 10, 12, 5
+    d_pad = 8
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 4)
+
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, 2, 4))
+    ours = np.asarray(cbca_fused(jnp.asarray(volume), arms, 2, 4, interpret=True))
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-5)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mccnn_tpu.models import init_params
 from mccnn_tpu.parallel import make_dp_train_step, make_mesh, make_sharded_match, shard_batch
@@ -42,7 +43,11 @@ def test_dp_train_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_sharded_match_matches_unsharded(rng):
+@pytest.mark.parametrize("cv_method,cbca_impl", [
+    ("pallas", "fused"),   # shard_map-wrapped Pallas kernels (the default)
+    ("matmul", "xla"),     # fully GSPMD-partitioned XLA fallback
+])
+def test_sharded_match_matches_unsharded(rng, cv_method, cbca_impl):
     mesh = make_mesh(4)
     params = init_params(jax.random.key(1))
     height, width, ndisp = 16, 24, 4
@@ -52,11 +57,35 @@ def test_sharded_match_matches_unsharded(rng):
     plain = np.asarray(
         match_pair(params, jnp.asarray(left), jnp.asarray(right), ndisp, MATCH_CFG)
     )
-    sharded_fn = make_sharded_match(ndisp, MATCH_CFG, mesh)
+    sharded_fn = make_sharded_match(
+        ndisp, MATCH_CFG, mesh,
+        cost_volume_method=cv_method, cbca_impl=cbca_impl,
+    )
     sharded = np.asarray(sharded_fn(params, jnp.asarray(left), jnp.asarray(right)))
 
     close = np.isclose(plain, sharded, atol=1e-3)
     assert close.mean() > 0.98, f"only {close.mean():.2%} pixels agree"
+
+
+def test_shard_map_pallas_cbca_matches_unsharded_kernel(rng):
+    """The shard_map fused-CBCA hook must equal the single-device kernel
+    at a size where the kernel path (not the tiny-shape fallback) runs."""
+    from mccnn_tpu.ops.cbca import cbca, compute_arms
+    from mccnn_tpu.ops.common import BIG_COST
+    from mccnn_tpu.parallel.pallas_shard import make_sharded_cbca_fn
+
+    mesh = make_mesh(2)
+    height, width, ndisp, d_pad = 128, 160, 5, 128  # 64 rows/shard
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    tau, dist = 0.8, 14
+
+    arms = compute_arms(jnp.asarray(image), tau, dist)
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, 1, dist))
+    fn = make_sharded_cbca_fn(dist, mesh, impl="fused")
+    sharded = np.asarray(fn(jnp.asarray(volume), arms, 1))
+    np.testing.assert_allclose(sharded, expected, rtol=1e-4, atol=1e-4)
 
 
 def test_shard_map_cbca_matches_unsharded(rng):

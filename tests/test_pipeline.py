@@ -114,3 +114,63 @@ def test_paper_mode_pipeline_differs_from_chained(rng):
     ))
     assert chained.shape == paper.shape
     assert not np.allclose(chained, paper)
+
+
+def test_bf16_chunked_pipeline_close_to_f32(rng):
+    """The full-resolution memory mode (bf16 volumes, d-chunked fused CBCA,
+    sequential right-then-left schedule) must track the exact pipeline."""
+    height, width, ndisp = 48, 164, 6
+    params = init_params(jax.random.key(3))
+    left = standardize_image(rng.normal(size=(height, width)).astype(np.float32))
+    right = standardize_image(np.roll(left, -2, axis=1))
+
+    exact = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+        cost_volume_method="pallas", cbca_impl="fused",
+    ))
+    fast = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+        cost_volume_method="pallas", cbca_impl="fused",
+        volume_dtype="bfloat16", cbca_chunk_d=128,
+    ))
+    assert fast.shape == exact.shape
+    assert np.isfinite(fast).all()
+    # bf16 volume quantization: disparities may differ at ambiguous pixels;
+    # require agreement within 1 disparity for the vast majority
+    agree = np.abs(fast - exact) <= 1.0
+    assert agree.mean() > 0.97
+
+
+def test_sequential_pallas_schedule_matches_pair_build(rng):
+    """The right-then-left single-side schedule (pallas path) must be
+    numerically identical to the pair-build path at f32."""
+    height, width, ndisp = 48, 164, 6
+    params = init_params(jax.random.key(4))
+    left = standardize_image(rng.normal(size=(height, width)).astype(np.float32))
+    right = standardize_image(np.roll(left, -2, axis=1))
+
+    seq = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+        cost_volume_method="pallas", cbca_impl="xla",
+    ))
+    pair = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+        cost_volume_method="matmul", cbca_impl="xla",
+    ))
+    np.testing.assert_allclose(seq, pair, atol=2e-3)
+
+
+def test_joint_region_pipeline_runs_and_differs(rng):
+    """cbca_joint_regions=True must run end-to-end and change the result
+    (the d-conditioned regions shrink supports at disparity edges)."""
+    params = init_params(jax.random.key(5))
+    left, right = _stereo_pair(rng, height=12, width=18)
+    plain = np.asarray(match_pair(params, jnp.asarray(left),
+                                  jnp.asarray(right), 5, CFG))
+    joint = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), 5,
+        CFG.replace(cbca_joint_regions=True),
+    ))
+    assert joint.shape == plain.shape
+    assert np.isfinite(joint).all()
+    assert not np.allclose(joint, plain)

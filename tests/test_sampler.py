@@ -87,3 +87,18 @@ def test_batch_too_large_raises(tmp_path, rng):
     sampler = TripletSampler(StereoDataset(list_file), seed=0)
     with pytest.raises(ValueError):
         sampler.next_batch(20)
+
+
+def test_next_pair_sequential_and_reset(tmp_path, rng):
+    import pytest
+
+    list_file = _write_dataset(tmp_path, rng, n_pairs=3)
+    dataset = StereoDataset(list_file)
+    seen = [dataset.next_pair() for _ in range(3)]
+    assert len(seen) == 3
+    with pytest.raises(IndexError):
+        dataset.next_pair()
+    dataset.reshuffle()
+    left, right, gt = dataset.next_pair()
+    assert left.shape == right.shape
+    assert gt.shape == left.shape

@@ -1,0 +1,87 @@
+"""Benchmark CBCA implementations per round on real TPU (half-res scale).
+
+Compares the dense-mask MXU einsum (round-1 default, 3.8 GB/round mask
+traffic), the VPU-stencil Pallas kernel, and the fused VMEM-mask MXU kernel
+(f32 and bf16 volumes), plus a numeric cross-check of the fused kernel
+against the XLA stencil on-device.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, iters=3, label=""):
+    import jax
+    import jax.numpy as jnp
+
+    sync = jax.jit(lambda t: jnp.sum(jax.tree.leaves(t)[0].astype(jnp.float32)))
+    out = fn(*args)
+    np.asarray(sync(out))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(sync(out))
+    print(f"{label:46s} {(time.time() - t0) / iters * 1e3:9.1f} ms", flush=True)
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.ops.cbca import cbca, compute_arms
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+    from mccnn_tpu.ops.cbca_mxu import cbca_mxu
+
+    height, width, d_pad = 1000, 1504, 256
+    iters = int(os.environ.get("CBCA_ITERS", "4"))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(height, width)).astype(np.float32))
+    vol = jnp.asarray(
+        rng.normal(size=(height, width, d_pad)).astype(np.float32)
+    )
+    arms = jax.jit(lambda i: compute_arms(i, 0.02, 14))(image)
+    arms = jax.tree.map(lambda x: x.block_until_ready(), arms)
+
+    n = iters
+    variants = os.environ.get("VARIANTS", "mxu,fused,fused16,check").split(",")
+    if "mxu" in variants:
+        timed(jax.jit(lambda v, a: cbca_mxu(v, a, n, 14)), vol, arms,
+              label=f"cbca mxu dense masks        x{n} iters")
+    if "fused" in variants:
+        timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14)), vol, arms,
+              label=f"cbca fused vmem-masks f32   x{n} iters")
+    if "fused16" in variants:
+        vol16 = vol.astype(jnp.bfloat16)
+        timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14)), vol16, arms,
+              label=f"cbca fused vmem-masks bf16  x{n} iters")
+    if "xla" in variants:
+        timed(jax.jit(lambda v, a: cbca(v, a, n, 14)), vol, arms,
+              label=f"cbca xla stencil            x{n} iters")
+
+    if "check" in variants:
+        # on-device numeric cross-check (Mosaic vs XLA, 1 round)
+        vol16 = vol.astype(jnp.bfloat16)
+        ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 1, 14))(vol, arms))
+        got = np.asarray(
+            jax.jit(lambda v, a: cbca_fused(v, a, 1, 14))(vol, arms)
+        )
+        err = np.max(np.abs(got - ref) / (np.abs(ref) + 1e-3))
+        print(f"fused-vs-xla max rel err (1 round, f32): {err:.2e}", flush=True)
+        got16 = np.asarray(
+            jax.jit(lambda v, a: cbca_fused(v, a, 1, 14))(vol16, arms)
+        ).astype(np.float32)
+        err16 = np.max(np.abs(got16 - ref) / (np.abs(ref) + 1e-3))
+        print(f"fused-vs-xla max rel err (1 round, bf16): {err16:.2e}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

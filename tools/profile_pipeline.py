@@ -73,8 +73,13 @@ def main():
     arms_r = arms_fn(right)
     total += 2 * dt
 
-    if jax.default_backend() == "tpu":
+    impl = os.environ.get("CBCA_IMPL", "mxu")
+    if jax.default_backend() != "tpu":
+        impl = "xla"
+    if impl == "mxu":
         from mccnn_tpu.ops.cbca_mxu import cbca_mxu as agg
+    elif impl == "fused":
+        from mccnn_tpu.ops.cbca_fused import cbca_fused as agg
     else:
         agg = cbca
     cbca1_fn = jax.jit(lambda v, a: agg(v, a, 1))
