@@ -181,9 +181,14 @@ def bench_quarter() -> None:
 
 
 def bench_full() -> None:
-    """Full-res scale: the bf16 / d-chunked / sequential-volume schedule."""
+    """Full-res scale: the bf16 / d-chunked / sequential-volume schedule.
+
+    Width 3072 = the 128-bucket the serving path (MatchPipeline) would pad
+    a ~3000-px Middlebury scene to anyway; lane-aligned W means the band
+    kernel's output IS the pipeline volume (no crop copy of a 6 GB array).
+    """
     main(
-        2000, 3008, 400, "fullres_full_pipeline_megapixels_per_s",
+        2000, 3072, 400, "fullres_full_pipeline_megapixels_per_s",
         match_kwargs={
             "cbca_impl": "fused",
             "volume_dtype": "bfloat16",

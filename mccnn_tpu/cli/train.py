@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["numpy", "native", "auto"],
                         help="host patch-sampler implementation (native = "
                              "the C++ sampler in native/)")
+    parser.add_argument("--prefetch_batches", type=int, default=2,
+                        help="overlap host sampling with device steps via a "
+                             "background thread holding up to N batches "
+                             "(bit-identical sample stream; 0 = synchronous)")
     return parser
 
 
@@ -132,10 +136,19 @@ def main(argv=None) -> None:
     except ImportError:  # pragma: no cover
         tqdm = lambda x, **kw: x  # noqa: E731
 
+    train_feed = train_sampler
+    if args.prefetch_batches > 0 and config.end_epoch > start_epoch:
+        from mccnn_tpu.data.prefetch import BatchPrefetcher
+
+        train_feed = BatchPrefetcher(
+            train_sampler, config.batch_size, epoch_len=len(train_set),
+            depth=args.prefetch_batches,
+        )
+
     for epoch in range(start_epoch, config.end_epoch):
         for batch_idx in tqdm(range(len(train_set)),
                               desc=f"epoch {epoch + 1}", leave=False):
-            batch = train_sampler.next_batch(config.batch_size)
+            batch = train_feed.next_batch(config.batch_size)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             params, opt_state, loss = train_step(params, opt_state, batch)
@@ -157,9 +170,11 @@ def main(argv=None) -> None:
             logger.log(step=len(train_set) * (epoch + 1), event="val",
                        epoch=epoch + 1, val_hinge_loss=val_loss)
 
-        train_sampler.reset()
+        train_feed.reset()  # the prefetcher forwards to the sampler
         val_sampler.reset()
 
+    if train_feed is not train_sampler:
+        train_feed.close()
     logger.close()
 
 

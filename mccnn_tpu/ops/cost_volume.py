@@ -83,28 +83,23 @@ def cost_volume_pair(
     if method == "pallas":
         from mccnn_tpu.ops.cost_volume_pallas import band_pair_pallas
 
-        # the kernel's zero padding already zeroes out-of-range entries;
-        # zero the disparity-pad lanes for parity with the masked paths
+        # the MXU kernels emit finalized volumes (cost = -score, BIG_COST
+        # pad lanes) directly in VMEM; the border fills are means, which
+        # commute with the negation bit-exactly, so they run on the
+        # finalized volume. No epilogue select/negate buffer materializes.
         if sides == "both":
-            scores_left, scores_right = band_pair_pallas(
-                features_left, features_right, d_pad, out_dtype=dtype
+            vol_l, vol_r = band_pair_pallas(
+                features_left, features_right, d_pad, out_dtype=dtype,
+                finalize_ndisp=ndisp,
             )
-            scores_left = jnp.where(pad_lanes, scores_left, 0.0)
-            scores_right = jnp.where(pad_lanes, scores_right, 0.0)
-        elif sides == "left":
-            scores_left = jnp.where(
-                pad_lanes,
-                band_pair_pallas(features_left, features_right, d_pad,
-                                 sides="left", out_dtype=dtype),
-                0.0,
-            )
-        else:
-            scores_right = jnp.where(
-                pad_lanes,
-                band_pair_pallas(features_left, features_right, d_pad,
-                                 sides="right", out_dtype=dtype),
-                0.0,
-            )
+            return (_border_fill_left(vol_l, ndisp),
+                    _border_fill_right(vol_r, ndisp))
+        vol = band_pair_pallas(features_left, features_right, d_pad,
+                               sides=sides, out_dtype=dtype,
+                               finalize_ndisp=ndisp)
+        if sides == "left":
+            return _border_fill_left(vol, ndisp)
+        return _border_fill_right(vol, ndisp)
     else:
         if method == "matmul":
             scores_left = _left_scores_matmul(
@@ -233,7 +228,11 @@ def _border_fill_left(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arra
         return scores
     height, width, d_pad = scores.shape
     dgrid = disparity_iota(d_pad)[0]  # (1, D)
-    padded = jnp.pad(scores, ((0, 0), (0, 2), (0, 0)))
+    # the highest fill step (d = ndisp-1) reads columns ndisp-1..ndisp+1;
+    # only tiny widths need the guard columns — padding unconditionally
+    # would copy the whole volume (5.9 GB at full-res) twice (pad + crop)
+    pad_n = 0 if width >= ndisp + 2 else 2
+    padded = jnp.pad(scores, ((0, 0), (0, pad_n), (0, 0))) if pad_n else scores
 
     def fill_one(block, local, d):
         """block cols [base, base+size): write local, read local+1..+3."""
@@ -241,7 +240,10 @@ def _border_fill_left(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arra
         valid = d + jnp.arange(3, dtype=jnp.int32) < width
         mean = _masked_mean3(cols, valid)
         old = lax.index_in_dim(block, local, axis=1, keepdims=False)
-        new_col = jnp.where(dgrid >= d, mean, old).astype(block.dtype)
+        # real disparity lanes only: the finalized-volume path (pallas)
+        # carries BIG_COST pad lanes through the fills bit-exactly
+        new_col = jnp.where((dgrid >= d) & (dgrid < ndisp), mean,
+                            old).astype(block.dtype)
         return lax.dynamic_update_index_in_dim(block, new_col, local, axis=1)
 
     total = ndisp - 1  # fill steps, d = ndisp-1 .. 1
@@ -264,7 +266,7 @@ def _border_fill_left(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arra
     if d >= 1:
         starts = jnp.arange(d, 0, -chunk, dtype=jnp.int32)
         volume, _ = lax.scan(step, volume, starts)
-    return volume[:, :width, :]
+    return volume[:, :width, :] if pad_n else volume
 
 
 def _border_fill_right(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Array:
@@ -278,7 +280,9 @@ def _border_fill_right(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arr
         return scores
     height, width, d_pad = scores.shape
     dgrid = disparity_iota(d_pad)[0]  # (1, D)
-    padded = jnp.pad(scores, ((0, 0), (3, 0), (0, 0)))
+    # the deepest read column is W - ndisp - 2; pad only when it's negative
+    pad_n = 0 if width >= ndisp + 2 else 3
+    padded = jnp.pad(scores, ((0, 0), (pad_n, 0), (0, 0))) if pad_n else scores
 
     def fill_one(block, local, d):
         """write local col (= padded W-d+3 within block), read local-3..-1."""
@@ -286,7 +290,10 @@ def _border_fill_right(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arr
         valid = width - d - 3 + jnp.arange(3, dtype=jnp.int32) >= 0
         mean = _masked_mean3(cols, valid)
         old = lax.index_in_dim(block, local, axis=1, keepdims=False)
-        new_col = jnp.where(dgrid >= d, mean, old).astype(block.dtype)
+        # real disparity lanes only: the finalized-volume path (pallas)
+        # carries BIG_COST pad lanes through the fills bit-exactly
+        new_col = jnp.where((dgrid >= d) & (dgrid < ndisp), mean,
+                            old).astype(block.dtype)
         return lax.dynamic_update_index_in_dim(block, new_col, local, axis=1)
 
     total = ndisp - 1
@@ -294,12 +301,12 @@ def _border_fill_right(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arr
     volume = padded
     d = ndisp - 1
     for _ in range(remainder):  # static prologue
-        volume = fill_one(volume, width - d + 3, jnp.int32(d))
+        volume = fill_one(volume, width - d + pad_n, jnp.int32(d))
         d -= 1
 
     def step(volume, d_hi):
-        # fills d = d_hi .. d_hi-chunk+1 -> padded cols (W-d_hi+3)..(+K-1)
-        base = width - d_hi  # 3 read-context cols before the first write
+        # fills d = d_hi .. d_hi-chunk+1 -> cols (W-d_hi+pad_n)..(+K-1)
+        base = width - d_hi - 3 + pad_n  # 3 read-context cols lead the write
         block = lax.dynamic_slice(volume, (0, base, 0),
                                   (height, chunk + 3, d_pad))
         for j in range(chunk):
@@ -309,4 +316,4 @@ def _border_fill_right(scores: jax.Array, ndisp: int, chunk: int = 8) -> jax.Arr
     if d >= 1:
         starts = jnp.arange(d, 0, -chunk, dtype=jnp.int32)
         volume, _ = lax.scan(step, volume, starts)
-    return volume[:, 3:, :]
+    return volume[:, pad_n:, :] if pad_n else volume

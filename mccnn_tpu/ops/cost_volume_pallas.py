@@ -128,14 +128,53 @@ def _skew_rows(matrix: jax.Array, num_rows: int) -> jax.Array:
     return matrix
 
 
+def _skew_rows_neg(matrix: jax.Array, num_rows: int) -> jax.Array:
+    """M'[u, k] = M[u, (k - u) mod L] — the decreasing-diagonal skew.
+
+    Row-gated RIGHT rolls (gates depend only on the row index, which lane
+    rolls never move, so the per-bit composition is exact). Reading the
+    left band's decreasing diagonals this way — from a lane-REVERSED
+    context (see ``band_pair_pallas``) — emits the band in natural
+    disparity order: no reversed tile maps, no XLA-level flip copy of the
+    whole volume afterwards.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (matrix.shape[0], 1), 0)
+    bit = 1
+    while bit < num_rows:
+        rolled = pltpu.roll(matrix, bit, axis=1)
+        matrix = jnp.where((rows & bit) != 0, rolled, matrix)
+        bit <<= 1
+    return matrix
+
+
+def _finalize_tile(band: jax.Array, k, tile_d: int, ndisp: int | None,
+                   dtype) -> jax.Array:
+    """(TW, TD) f32 score tile -> stored cost tile.
+
+    With ``ndisp`` set, applies the pipeline's volume convention in VMEM —
+    cost = -score on real disparity lanes, BIG_COST on the padding lanes —
+    so no full-volume select/negate buffer ever materializes at XLA level
+    (at full-res that select was its own 5.74 GB allocation). The border
+    fills commute with the negation (they are means), so running them on
+    the finalized volume is bit-identical.
+    """
+    if ndisp is None:
+        return band.astype(dtype)
+    from mccnn_tpu.ops.common import BIG_COST
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, band.shape, 1) + k * tile_d
+    return jnp.where(lane < ndisp, -band, BIG_COST).astype(dtype)
+
+
 def _band_kernel_mxu(
     fl_hbm,   # (Hp, C, Wpad) left features, channel-major, zero-padded W
     fr_hbm,   # (Hp, C, Wpad)
+    fr_rev_hbm,  # (Hp, C, Wpad) right features, W axis REVERSED
     out_l_ref,  # (TH, TW, TD)
     out_r_ref,  # (TH, TW, TD)
     fl_tile,    # scratch (TH, C, TW)
     fr_tile,    # scratch (TH, C, TW)
-    fr_ctx,     # scratch (TH, C, TW + TD)
+    fr_ctx,     # scratch (TH, C, TW + TD) — from the REVERSED array
     fl_ctx,     # scratch (TH, C, TW + TD)
     sems,
     *,
@@ -143,13 +182,20 @@ def _band_kernel_mxu(
     tile_w: int,
     tile_d: int,
     d_total: int,
+    w_total: int,
+    ndisp: int | None,
 ):
     i = pl.program_id(0)
     k = pl.program_id(1)  # disparity-tile index
     j = pl.program_id(2)  # column-tile index
     row0 = i * tile_h
     anchor0 = pl.multiple_of(j * tile_w + d_total, 128)
-    left_ctx0 = pl.multiple_of(j * tile_w - k * tile_d + d_total - tile_d, 128)
+    # left ctx covers fr cols [j*TW - k*TD + d_total - TD, ... + TW + TD);
+    # in the reversed array that window starts at w_total - end
+    left_ctx0 = j * tile_w - k * tile_d + d_total - tile_d
+    left_ctx0_rev = pl.multiple_of(
+        w_total - (tile_w + tile_d) - left_ctx0, 128
+    )
     right_ctx0 = pl.multiple_of(j * tile_w + k * tile_d + d_total, 128)
 
     copies = [
@@ -162,7 +208,8 @@ def _band_kernel_mxu(
             fr_tile, sems.at[1],
         ),
         pltpu.make_async_copy(
-            fr_hbm.at[pl.ds(row0, tile_h), :, pl.ds(left_ctx0, tile_w + tile_d)],
+            fr_rev_hbm.at[pl.ds(row0, tile_h), :,
+                          pl.ds(left_ctx0_rev, tile_w + tile_d)],
             fr_ctx, sems.at[2],
         ),
         pltpu.make_async_copy(
@@ -182,27 +229,32 @@ def _band_kernel_mxu(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (TW, TW + TD)
+        )  # (TW, TW + TD); reversed ctx: col t = fr[left_ctx0 + TW+TD-1 - t]
         corr_r = jax.lax.dot_general(
             fr_tile[h, :, :], fl_ctx[h, :, :],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        # left band: out[u, v] = corr_l[u, u + TD - v]. Mosaic has no rev
-        # op, so the tile is written disparity-REVERSED (out_l_ref[.., t-1]
-        # = corr_l[u, u+t]); the reversed tile index map plus one XLA-level
-        # flip of the d axis in the wrapper restores the order.
-        skewed_l = _skew_rows(corr_l, tile_w)
-        out_l_ref[h, :, :] = skewed_l[:, 1: tile_d + 1].astype(out_l_ref.dtype)
+        # left band: out[u, v] = <fL(u), fR(u - v)> sits at corr_l col
+        # t = TW - 1 - u + v. One uniform roll (t' = t + 1) plus the
+        # decreasing-diagonal skew puts it at lane TW + v — an aligned
+        # static slice, in NATURAL disparity order (no flip anywhere).
+        skewed_l = _skew_rows_neg(pltpu.roll(corr_l, 1, axis=1), tile_w)
+        out_l_ref[h, :, :] = _finalize_tile(
+            skewed_l[:, tile_w: tile_w + tile_d], k, tile_d, ndisp,
+            out_l_ref.dtype,
+        )
         # right band: out[u, v] = corr_r[u, u + v]
         skewed_r = _skew_rows(corr_r, tile_w)
-        out_r_ref[h, :, :] = skewed_r[:, :tile_d].astype(out_r_ref.dtype)
+        out_r_ref[h, :, :] = _finalize_tile(
+            skewed_r[:, :tile_d], k, tile_d, ndisp, out_r_ref.dtype,
+        )
 
 
 def _band_kernel_mxu_one(
-    fl_hbm,   # (Hp, C, Wpad) left features, channel-major, zero-padded W
-    fr_hbm,   # (Hp, C, Wpad)
+    anchor_hbm,  # (Hp, C, Wpad) anchor features, channel-major
+    ctx_hbm,     # (Hp, C, Wpad) context features — REVERSED array for "left"
     out_ref,  # (TH, TW, TD)
     anchor_tile,  # scratch (TH, C, TW)
     ctx_tile,     # scratch (TH, C, TW + TD)
@@ -212,6 +264,8 @@ def _band_kernel_mxu_one(
     tile_w: int,
     tile_d: int,
     d_total: int,
+    w_total: int,
+    ndisp: int | None,
     side: str,
 ):
     """Single-band variant of ``_band_kernel_mxu``: half the DMA traffic,
@@ -223,10 +277,12 @@ def _band_kernel_mxu_one(
     row0 = i * tile_h
     anchor0 = pl.multiple_of(j * tile_w + d_total, 128)
     if side == "left":
-        anchor_hbm, ctx_hbm = fl_hbm, fr_hbm
-        ctx0 = pl.multiple_of(j * tile_w - k * tile_d + d_total - tile_d, 128)
+        ctx0 = pl.multiple_of(
+            w_total - (tile_w + tile_d)
+            - (j * tile_w - k * tile_d + d_total - tile_d),
+            128,
+        )
     else:
-        anchor_hbm, ctx_hbm = fr_hbm, fl_hbm
         ctx0 = pl.multiple_of(j * tile_w + k * tile_d + d_total, 128)
 
     copies = [
@@ -251,12 +307,15 @@ def _band_kernel_mxu_one(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (TW, TW + TD)
-        skewed = _skew_rows(corr, tile_w)
         if side == "left":
-            # written disparity-reversed, undone by tile map + one flip
-            out_ref[h, :, :] = skewed[:, 1: tile_d + 1].astype(out_ref.dtype)
+            # reversed ctx + decreasing-diagonal skew: natural d order
+            skewed = _skew_rows_neg(pltpu.roll(corr, 1, axis=1), tile_w)
+            band = skewed[:, tile_w: tile_w + tile_d]
         else:
-            out_ref[h, :, :] = skewed[:, :tile_d].astype(out_ref.dtype)
+            skewed = _skew_rows(corr, tile_w)
+            band = skewed[:, :tile_d]
+        out_ref[h, :, :] = _finalize_tile(band, k, tile_d, ndisp,
+                                          out_ref.dtype)
 
 
 def band_pair_pallas(
@@ -270,58 +329,66 @@ def band_pair_pallas(
     use_mxu: bool = True,
     sides: str = "both",
     out_dtype=None,
+    finalize_ndisp: int | None = None,
 ) -> Tuple[jax.Array, jax.Array] | jax.Array:
-    """(H, W, C) feature pair -> raw (left, right) score bands (H, W, d_pad).
+    """(H, W, C) feature pair -> (left, right) score bands (H, W, d_pad).
 
-    Out-of-range entries are 0; no disparity-pad masking or border fills
-    (cost_volume.cost_volume_pair applies those). ``use_mxu`` selects the
+    Out-of-range entries are 0; no border fills (cost_volume
+    .cost_volume_pair applies those). ``use_mxu`` selects the
     matmul+log-skew kernel (default; the systolic array does the dots)
     over the shifted multiply-reduce VPU kernel. ``sides`` = "both" returns
     the tuple; "left"/"right" computes and returns only that band (half the
     work and peak memory — the full-res schedule). ``out_dtype`` casts the
     band inside the kernel (bf16 volumes never materialize in f32).
+
+    ``finalize_ndisp`` (MXU kernels only): emit pipeline cost volumes
+    directly — negated scores with BIG_COST disparity-pad lanes — so the
+    wrapper returns with NO epilogue ops on the volume at all. The left
+    band reads its context from a once-flipped copy of the right feature
+    array and extracts decreasing diagonals (``_skew_rows_neg``), which
+    yields natural disparity order without the former reversed-tile-map +
+    XLA flip (a full extra volume copy at full-res).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if finalize_ndisp is not None and not use_mxu:
+        raise ValueError("finalize_ndisp requires the MXU kernels")
     height, width, channels = features_left.shape
     d_total = _round_up(d_pad, tile_d)
     hp = _round_up(height, tile_h)
     wp = _round_up(width, tile_w)
     cp = _round_up(channels, 8)  # channel axis is sublane-tiled
+    w_total = wp + 2 * d_total  # padded W extent of the prepped arrays
 
-    def prep(f):
+    def prep(f, reverse=False):
         f = jnp.transpose(f, (0, 2, 1))  # (H, C, W)
-        return jnp.pad(
+        f = jnp.pad(
             f,
             ((0, hp - height), (0, cp - channels),
              (d_total, d_total + wp - width)),
         )
+        return jnp.flip(f, axis=2) if reverse else f
 
-    fl = prep(features_left)
-    fr = prep(features_right)
     out_dtype = out_dtype or features_left.dtype
+    grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
+
+    def crop(out):
+        return out[:height, :width, :d_pad]
 
     if sides != "both":
         if not use_mxu:
             raise ValueError("single-side bands require the MXU kernel")
-        grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
-        num_d_tiles = d_total // tile_d
+        if sides == "left":
+            anchor = prep(features_left)
+            ctx = prep(features_right, reverse=True)
+        else:
+            anchor = prep(features_right)
+            ctx = prep(features_left)
         kernel = functools.partial(
             _band_kernel_mxu_one,
             tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
-            side=sides,
+            w_total=w_total, ndisp=finalize_ndisp, side=sides,
         )
-        if sides == "left":
-            out_spec = pl.BlockSpec(
-                (tile_h, tile_w, tile_d),
-                lambda i, k, j: (i, j, num_d_tiles - 1 - k),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            out_spec = pl.BlockSpec(
-                (tile_h, tile_w, tile_d), lambda i, k, j: (i, j, k),
-                memory_space=pltpu.VMEM,
-            )
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -329,7 +396,10 @@ def band_pair_pallas(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=out_spec,
+            out_specs=pl.BlockSpec(
+                (tile_h, tile_w, tile_d), lambda i, k, j: (i, j, k),
+                memory_space=pltpu.VMEM,
+            ),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d_total), out_dtype),
             scratch_shapes=[
                 pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
@@ -337,40 +407,49 @@ def band_pair_pallas(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(fl, fr)
-        if sides == "left":
-            out = jnp.flip(out, axis=2)
-        return out[:height, :width, :d_pad]
+        )(anchor, ctx)
+        return crop(out)
 
+    fl = prep(features_left)
+    fr = prep(features_right)
     if use_mxu:
-        grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
-        num_d_tiles = d_total // tile_d
+        fr_rev = prep(features_right, reverse=True)
         kernel = functools.partial(
             _band_kernel_mxu,
             tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
+            w_total=w_total, ndisp=finalize_ndisp,
         )
         out_shape = jax.ShapeDtypeStruct((hp, wp, d_total), out_dtype)
-        # left tiles are written disparity-reversed (see kernel); reversing
-        # the tile placement too makes the whole d axis reversed, undone by
-        # one flip below
-        out_l_spec = pl.BlockSpec((tile_h, tile_w, tile_d),
-                                  lambda i, k, j: (i, j, num_d_tiles - 1 - k),
-                                  memory_space=pltpu.VMEM)
-        out_r_spec = pl.BlockSpec((tile_h, tile_w, tile_d),
-                                  lambda i, k, j: (i, j, k),
-                                  memory_space=pltpu.VMEM)
-    else:
-        grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
-        kernel = functools.partial(
-            _band_kernel,
-            tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
-        )
-        out_shape = jax.ShapeDtypeStruct((hp, d_total, wp), out_dtype)
         out_l_spec = out_r_spec = pl.BlockSpec(
-            (tile_h, tile_d, tile_w), lambda i, k, j: (i, k, j),
+            (tile_h, tile_w, tile_d), lambda i, k, j: (i, j, k),
             memory_space=pltpu.VMEM,
         )
+        out_l, out_r = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=(out_l_spec, out_r_spec),
+            out_shape=(out_shape, out_shape),
+            scratch_shapes=[
+                pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
+                pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
+                pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
+                pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(fl, fr, fr_rev)
+        return crop(out_l), crop(out_r)
 
+    kernel = functools.partial(
+        _band_kernel,
+        tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
+    )
+    out_shape = jax.ShapeDtypeStruct((hp, d_total, wp), out_dtype)
+    out_spec = pl.BlockSpec(
+        (tile_h, tile_d, tile_w), lambda i, k, j: (i, k, j),
+        memory_space=pltpu.VMEM,
+    )
     out_l, out_r = pl.pallas_call(
         kernel,
         grid=grid,
@@ -378,7 +457,7 @@ def band_pair_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(out_l_spec, out_r_spec),
+        out_specs=(out_spec, out_spec),
         out_shape=(out_shape, out_shape),
         scratch_shapes=[
             pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
@@ -389,9 +468,6 @@ def band_pair_pallas(
         ],
         interpret=interpret,
     )(fl, fr)
-    if use_mxu:
-        out_l = jnp.flip(out_l, axis=2)  # undo the reversed left-band layout
-        return out_l[:height, :width, :d_pad], out_r[:height, :width, :d_pad]
     # VPU kernel emits (H, D, W) -> the pipeline's (H, W, D)
     out_l = jnp.transpose(out_l, (0, 2, 1))[:height, :width, :d_pad]
     out_r = jnp.transpose(out_r, (0, 2, 1))[:height, :width, :d_pad]

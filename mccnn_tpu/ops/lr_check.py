@@ -12,9 +12,14 @@ reference comment at :318); occlusion -> nearest match strictly to the right
 (the paper extends left; the reference goes right, comment at :361); pixels
 with no found neighbor keep their raw value.
 
-TPU design: the per-pixel directional searches become log-depth
-``lax.associative_scan`` "last seen match" sweeps; the mismatch existence
-test is one banded gather over the disparity axis. No data-dependent loops.
+TPU design: the per-pixel directional searches are index propagation —
+``lax.cummax``/``cummin`` over match positions followed by one gather of the
+disparity at the found index. (An earlier ``lax.associative_scan``
+formulation was semantically identical but made the XLA TPU compiler hang
+for >45 min at full-res (2000x3008) when several scans share inputs in one
+program; the cumulative-op form compiles in seconds and is also faster.)
+The mismatch existence test is a 3-scatter reprojection over the disparity
+axis. No data-dependent loops.
 """
 
 from __future__ import annotations
@@ -24,37 +29,28 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _last_seen(values: jax.Array, seen: jax.Array, axis: int, reverse: bool):
-    """Inclusive 'latest seen value' scan along ``axis``.
-
-    Returns (vals, flags): at each position, the value of the nearest
-    position with ``seen=True`` at-or-before it in scan order.
-    """
-
-    def combine(a, b):
-        # b is the later element in scan order; keep it where it has seen one
-        a_val, a_seen = a
-        b_val, b_seen = b
-        return jnp.where(b_seen, b_val, a_val), a_seen | b_seen
-
-    return lax.associative_scan(combine, (values, seen), axis=axis, reverse=reverse)
-
-
 def _nearest_strict(values, seen, axis: int, toward_end: bool):
     """Nearest seen value strictly beyond each position along a direction.
 
     ``toward_end=True`` searches toward increasing index (right/down).
+    Returns (vals, flags): the value of ``values`` at the nearest position
+    with ``seen=True`` strictly beyond each position, and whether one exists.
     """
-    vals, flags = _last_seen(values, seen, axis=axis, reverse=toward_end)
-    # shift by one against the search direction to make it strict
-    shift = -1 if toward_end else 1
-    vals = jnp.roll(vals, shift, axis=axis)
-    flags = jnp.roll(flags, shift, axis=axis)
     size = values.shape[axis]
-    coords = jnp.arange(size, dtype=jnp.int32)
-    coords = coords.reshape([-1 if a == axis else 1 for a in range(values.ndim)])
-    edge = coords == (size - 1 if toward_end else 0)
-    flags = jnp.where(edge, False, flags)
+    iota = lax.broadcasted_iota(jnp.int32, values.shape, axis)
+    if toward_end:
+        # nearest seen at-or-after each position, then look one past self
+        idx = jnp.where(seen, iota, size)  # sentinel `size` = none
+        nearest = lax.cummin(idx, axis=axis, reverse=True)
+        nearest = jnp.roll(nearest, -1, axis=axis)
+        flags = (nearest < size) & (iota < size - 1)
+    else:
+        idx = jnp.where(seen, iota, -1)  # sentinel -1 = none
+        nearest = lax.cummax(idx, axis=axis)
+        nearest = jnp.roll(nearest, 1, axis=axis)
+        flags = (nearest >= 0) & (iota > 0)
+    safe = jnp.clip(nearest, 0, size - 1)
+    vals = jnp.take_along_axis(values, safe, axis=axis)
     return vals, flags
 
 

@@ -23,9 +23,13 @@ the whole (H, W, D) volume, updated one (H, D) line per step (XLA keeps the
 donated carry in place). The previous line's min-over-d is a lane reduction;
 d+-1 neighbors are lane shifts filled with BIG_COST, which implements the
 disparity-edge boundary cases for free given the BIG_COST disparity padding.
-The D2 penalty test is precomputed as one (H, W, D) bool plane per direction
-(a gathered directional gradient of the other image), never a (ndisp, H, W)
-float volume.
+The D2 penalty test is built PER SCAN CHUNK from the (H, W) gradient of the
+other image — horizontal sweeps by static window slices (+ a reversal for
+the left volume), vertical sweeps by a constant-index banded gather — so no
+(H, W, D) probe tensor is ever materialized. (An earlier version gathered
+the full (H, W, D) D2 volume up front; at full-res that one gather was an
+11.75 GB f32 allocation and the single biggest obstacle to fitting the
+~6 MP / ndisp-400 problem in one chip's HBM.)
 """
 
 from __future__ import annotations
@@ -100,13 +104,13 @@ def _directional_sweep(
     p1_base = config.sgm_p1 / config.sgm_v if vertical else config.sgm_p1
     p2_base = config.sgm_p2
 
-    small_d1, small_d2 = _penalty_bits(
+    small_d1, b2_chunk = _penalty_bits(
         left_image, right_image, choice, direction, volume.shape[2], config.sgm_d
     )
     axis = 0 if vertical else 1
     forward = (rh == 1) if vertical else (rw == 1)
     return _sweep(
-        volume, small_d1, small_d2, p1_base, p2_base, config, axis, forward
+        volume, small_d1, b2_chunk, p1_base, p2_base, config, axis, forward
     )
 
 
@@ -117,19 +121,26 @@ def _penalty_bits(
     direction: Tuple[int, int],
     d_pad: int,
     sgm_d: float,
-) -> Tuple[jax.Array, jax.Array]:
-    """(D1 < sgm_d) plane and (D2 < sgm_d) volume for one direction.
+):
+    """(D1 < sgm_d) plane and a per-chunk (D2 < sgm_d) builder.
 
     D1(h,w) = |I_self(h,w) - I_self(h-rh, w-rw)|.
     D2(d,h,w) probes the *other* image's directional gradient at the
     disparity-shifted column (w-d for the left volume, w+d for the right),
     with out-of-range probes counting as 0 (reference skips them, leaving
     the zero initialization, reference: src/process_functional.py:507-533).
+
+    Returns ``(small_d1, b2_chunk)`` where ``b2_chunk(start, length)``
+    yields the (length, perp, D) block of (D2 < sgm_d) bits for scan lines
+    [start, start+length) along the sweep axis — lines are columns for
+    horizontal sweeps (perp = H) and rows for vertical ones (perp = W).
+    Nothing of size (H, W, D) is ever materialized.
     """
     rh, rw = direction
+    vertical = rh != 0
     self_image = left_image if choice == "L" else right_image
     other_image = right_image if choice == "L" else left_image
-    width = left_image.shape[1]
+    height, width = left_image.shape
 
     grad_self = jnp.abs(self_image - jnp.roll(jnp.roll(self_image, rh, 0), rw, 1))
     small_d1 = grad_self < sgm_d
@@ -137,23 +148,66 @@ def _penalty_bits(
     grad_other = jnp.abs(
         other_image - jnp.roll(jnp.roll(other_image, rh, 0), rw, 1)
     )
+    # every non-out-of-range probe w -+ d lies in [0, W); pad reads only
+    # ever land on positions the oor mask overwrites with True
+    oor_lo = max(0, rw)  # left volume: probe < oor_lo is out of range
+    oor_hi = width + min(0, rw)  # right volume: probe >= oor_hi is oor
+    disps = jnp.arange(d_pad, dtype=jnp.int32)
+
+    if not vertical:
+        # lines are columns; line w needs grad at columns w-d (L, reversed
+        # window) or w+d (R) for d in [0, D): static slices of one padded
+        # (H, D-1+length) window fetched with a single dynamic slice
+        if choice == "L":
+            gpad = jnp.pad(grad_other, ((0, 0), (d_pad - 1, 0)))
+        else:
+            gpad = jnp.pad(grad_other, ((0, 0), (0, d_pad - 1)))
+
+        def b2_chunk(start, length):
+            window = lax.dynamic_slice(
+                gpad, (0, start if choice == "L" else start),
+                (height, d_pad - 1 + length),
+            )
+            small = window < sgm_d
+            lines = []
+            for k in range(length):
+                block = lax.slice_in_dim(small, k, k + d_pad, axis=1)
+                if choice == "L":
+                    # window col k+j holds grad col start+k-(D-1)+j, so
+                    # d = D-1-j: reverse the disparity axis
+                    block = lax.rev(block, (1,))
+                    oor = (start + k) - disps < oor_lo
+                else:
+                    oor = (start + k) + disps >= oor_hi
+                lines.append(jnp.where(oor[None, :], True, block))
+            return jnp.stack(lines, axis=0)  # (length, H, D)
+
+        return small_d1, b2_chunk
+
+    # vertical: lines are rows; the (W, D) banded column-probe pattern is
+    # the same for every row — one constant-index gather per chunk
+    small_other = grad_other < sgm_d
     cols = jnp.arange(width, dtype=jnp.int32)[:, None]
-    disps = jnp.arange(d_pad, dtype=jnp.int32)[None, :]
     if choice == "L":
-        probe = cols - disps  # (W, D)
-        out_of_range = probe < max(0, rw)
+        probe = cols - disps[None, :]  # (W, D), constant
+        oor = probe < oor_lo
     else:
-        probe = cols + disps
-        out_of_range = probe >= width + min(0, rw)
-    gathered = jnp.take(grad_other, jnp.clip(probe, 0, width - 1), axis=1)
-    small_d2 = jnp.where(out_of_range[None], True, gathered < sgm_d)
-    return small_d1, small_d2
+        probe = cols + disps[None, :]
+        oor = probe >= oor_hi
+    idx = jnp.clip(probe, 0, width - 1)
+
+    def b2_chunk(start, length):
+        rows = lax.dynamic_slice_in_dim(small_other, start, length, axis=0)
+        block = jnp.take(rows, idx, axis=1)  # (length, W, D)
+        return jnp.where(oor[None], True, block)
+
+    return small_d1, b2_chunk
 
 
 def _sweep(
     volume: jax.Array,
     small_d1: jax.Array,
-    small_d2: jax.Array,
+    b2_chunk,
     p1_base: float,
     p2_base: float,
     config: MatchConfig,
@@ -167,7 +221,9 @@ def _sweep(
     volume plus the previous DP line and processes ``chunk`` lines per
     step with a static inner loop — one line per scan step leaves the
     device idle on while-loop bookkeeping (~30us/step); chunking
-    amortizes it. Both axes sweep natively — no transposes.
+    amortizes it. Both axes sweep natively — no transposes. D2 penalty
+    bits come from ``b2_chunk(start, length) -> (length, perp, D)``,
+    built inside each step (see ``_penalty_bits``).
     """
     size = volume.shape[axis]
     perp = volume.shape[1 - axis]
@@ -204,7 +260,7 @@ def _sweep(
         vol, prev = carry
         cur_block = take_chunk(vol, chunk_start, chunk)
         b1_block = take_chunk(small_d1, chunk_start, chunk)
-        b2_block = take_chunk(small_d2, chunk_start, chunk)
+        b2_block = b2_chunk(chunk_start, chunk)
         lines = []
         for k in range(chunk):
             idx = k if forward else chunk - 1 - k
@@ -238,7 +294,7 @@ def _sweep(
             prev,
             lax.index_in_dim(volume, idx, axis=axis, keepdims=False),
             lax.index_in_dim(small_d1, idx, axis=axis, keepdims=False),
-            lax.index_in_dim(small_d2, idx, axis=axis, keepdims=False),
+            b2_chunk(idx, 1)[0],
         )
         volume = lax.dynamic_update_index_in_dim(
             volume, prev.astype(volume.dtype), idx, axis=axis

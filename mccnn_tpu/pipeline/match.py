@@ -44,6 +44,7 @@ def match_pair(
     cbca_chunk_d: int = 0,
     cost_volume_fn=None,
     cbca_fn=None,
+    recompute_features: bool | str = "auto",
 ) -> jax.Array:
     """(H, W) standardized image pair -> (H, W) float32 disparity map.
 
@@ -157,16 +158,33 @@ def match_pair(
         # stays live through LR-interpolation and subpixel) materializes.
         # The barrier forces that schedule, pinning peak HBM at one volume
         # plus one round double-buffer — the full-resolution budget.
+        if recompute_features == "auto":
+            # in the bf16 full-res schedule, holding 2.9 GB of f32 feature
+            # maps across the whole right-volume phase costs more HBM
+            # headroom than ~2 extra feature extractions cost time
+            recompute_features = vdtype == jnp.bfloat16
         right_volume = constrain(
             cost_volume_fn(features_left, features_right, "right")
         )
         right_volume = process_volume(right_volume, right_image, "R")
         right_disparity = wta_disparity(right_volume)
-        features_left, features_right, right_disparity = (
-            lax.optimization_barrier(
-                (features_left, features_right, right_disparity)
+        if recompute_features:
+            # the images must pass THROUGH the barrier: otherwise the left
+            # feature extraction (and the left band kernel) depends only on
+            # pre-barrier values and the scheduler hoists it next to the
+            # right volume — two live volumes, the exact peak this
+            # schedule exists to avoid
+            right_disparity, limg, rimg = lax.optimization_barrier(
+                (right_disparity, left_image, right_image)
             )
-        )
+            features_left = extract_features(params, limg)
+            features_right = extract_features(params, rimg)
+        else:
+            features_left, features_right, right_disparity = (
+                lax.optimization_barrier(
+                    (features_left, features_right, right_disparity)
+                )
+            )
         left_volume = constrain(
             cost_volume_fn(features_left, features_right, "left")
         )

@@ -102,3 +102,52 @@ def test_next_pair_sequential_and_reset(tmp_path, rng):
     left, right, gt = dataset.next_pair()
     assert left.shape == right.shape
     assert gt.shape == left.shape
+
+
+def test_prefetcher_stream_parity(tmp_path, rng):
+    """The background prefetcher delivers the exact synchronous batch
+    stream, including across epoch-boundary reshuffles."""
+    from mccnn_tpu.data.prefetch import BatchPrefetcher
+
+    list_file = _write_dataset(tmp_path, rng, n_pairs=3)
+    epochs, epoch_len, batch_size = 2, 3, 8
+
+    ds_sync = StereoDataset(list_file, shuffle=True, seed=7)
+    sync_sampler = TripletSampler(ds_sync, seed=5)
+    expected = []
+    for _ in range(epochs):
+        for _ in range(epoch_len):
+            expected.append(sync_sampler.next_batch(batch_size))
+        sync_sampler.reset()
+
+    ds_pre = StereoDataset(list_file, shuffle=True, seed=7)
+    pre_sampler = TripletSampler(ds_pre, seed=5)
+    with BatchPrefetcher(pre_sampler, batch_size, epoch_len=epoch_len,
+                         depth=2) as feed:
+        got = []
+        for _ in range(epochs):
+            for _ in range(epoch_len):
+                got.append(feed.next_batch(batch_size))
+            feed.reset()
+
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        for ga, ea in zip(g, e):
+            np.testing.assert_array_equal(ga, ea)
+
+
+def test_prefetcher_rejects_early_reset_and_wrong_batch(tmp_path, rng):
+    from mccnn_tpu.data.prefetch import BatchPrefetcher
+
+    list_file = _write_dataset(tmp_path, rng)
+    ds = StereoDataset(list_file)
+    sampler = TripletSampler(ds, seed=0)
+    with BatchPrefetcher(sampler, 8, epoch_len=2, depth=2) as feed:
+        with pytest.raises(ValueError):
+            feed.next_batch(16)
+        feed.next_batch(8)
+        with pytest.raises(RuntimeError):
+            feed.reset()  # one batch of the epoch still queued
+        feed.next_batch(8)
+        feed.reset()
+        feed.next_batch(8)
