@@ -19,17 +19,28 @@ Behavioral spec (reference: src/process_functional.py:187-235,476-568):
     paper's independent-direction average.
 
 TPU design: each sweep is a ``lax.scan`` along the sweep axis whose carry is
-the whole (H, W, D) volume, updated one (H, D) line per step (XLA keeps the
-donated carry in place). The previous line's min-over-d is a lane reduction;
-d+-1 neighbors are lane shifts filled with BIG_COST, which implements the
+the whole volume, updated one chunk of lines per step (XLA keeps the carried
+volume in place). The previous line's min-over-d is a lane reduction; d+-1
+neighbors are lane shifts filled with BIG_COST, which implements the
 disparity-edge boundary cases for free given the BIG_COST disparity padding.
-The D2 penalty test is built PER SCAN CHUNK from the (H, W) gradient of the
-other image — horizontal sweeps by static window slices (+ a reversal for
-the left volume), vertical sweeps by a constant-index banded gather — so no
-(H, W, D) probe tensor is ever materialized. (An earlier version gathered
-the full (H, W, D) D2 volume up front; at full-res that one gather was an
-11.75 GB f32 allocation and the single biggest obstacle to fitting the
-~6 MP / ndisp-400 problem in one chip's HBM.)
+
+Every sweep scans DIM 0 of its operand: horizontal sweeps transpose the
+volume to (W, H, D) first and transpose back after. Measured on v5e at
+half-res, a dim-1 scan (carry updated via a middle-axis dynamic_update_slice
+XLA cannot alias in place — it recopies the whole ~1.5 GB carry every step)
+ran 911 ms/sweep; the transposed dim-0 scan, both transposes included, runs
+31.6 ms (29x).
+
+The D2 penalty test never materializes an (H, W, D) probe tensor at
+full-res scale (an earlier version gathered it up front; that one gather
+was an 11.75 GB f32 allocation and the single biggest obstacle to fitting
+the ~6 MP / ndisp-400 problem in one chip's HBM). Horizontal sweeps build
+it per scan chunk from static window slices of the other image's gradient
+— always cheap. Vertical sweeps need a banded (w - d) gather with no
+contiguous-window structure; the per-chunk gather costs 133 ms/sweep vs
+31 ms materialized, so the full bool gather IS materialized when it fits
+(under ``_B2_MATERIALIZE_LIMIT`` elements) and chunk-gathered only at
+full-res scale.
 """
 
 from __future__ import annotations
@@ -46,6 +57,10 @@ from mccnn_tpu.utils.config import MatchConfig
 # sweep order matters in the reference-faithful chained mode
 # (reference: src/process_functional.py:192-210): right, left, up, down
 _DIRECTIONS = ((0, 1), (0, -1), (-1, 0), (1, 0))
+
+# materialize the vertical-sweep D2 bool volume when it has at most this
+# many elements (1 byte each); above it, build it per scan chunk instead
+_B2_MATERIALIZE_LIMIT = 600_000_000
 
 
 def sgm(
@@ -107,11 +122,19 @@ def _directional_sweep(
     small_d1, b2_chunk = _penalty_bits(
         left_image, right_image, choice, direction, volume.shape[2], config.sgm_d
     )
-    axis = 0 if vertical else 1
     forward = (rh == 1) if vertical else (rw == 1)
-    return _sweep(
-        volume, small_d1, b2_chunk, p1_base, p2_base, config, axis, forward
+    if vertical:
+        return _sweep(
+            volume, small_d1, b2_chunk, p1_base, p2_base, config, forward
+        )
+    # horizontal: scan dim 0 of the (W, H, D) transpose — see module
+    # docstring for why a middle-axis scan is 29x slower. Adjacent sweeps
+    # in the chained mode transpose back and forth; XLA cancels the pair.
+    out = _sweep(
+        volume.swapaxes(0, 1), small_d1.T, b2_chunk, p1_base, p2_base,
+        config, forward,
     )
+    return out.swapaxes(0, 1)
 
 
 def _penalty_bits(
@@ -155,27 +178,34 @@ def _penalty_bits(
     disps = jnp.arange(d_pad, dtype=jnp.int32)
 
     if not vertical:
-        # lines are columns; line w needs grad at columns w-d (L, reversed
-        # window) or w+d (R) for d in [0, D): static slices of one padded
-        # (H, D-1+length) window fetched with a single dynamic slice
+        # lines are columns; line w needs grad at columns w-d (L) or w+d
+        # (R) for d in [0, D): static slices of one padded window fetched
+        # with a single dynamic slice per chunk. For L the gradient plane
+        # is FLIPPED once outside the scan, turning the descending-d
+        # window into an ascending contiguous slice (no in-scan lax.rev).
         if choice == "L":
-            gpad = jnp.pad(grad_other, ((0, 0), (d_pad - 1, 0)))
+            # gflip[h, x] = grad[h, W-1-x], padded by D on the right so
+            # line w's slice base (W-1-w) + 0..D-1+len-1 stays in range
+            gpad = jnp.pad(grad_other[:, ::-1], ((0, 0), (0, d_pad)))
         else:
-            gpad = jnp.pad(grad_other, ((0, 0), (0, d_pad - 1)))
+            gpad = jnp.pad(grad_other, ((0, 0), (0, d_pad)))
 
         def b2_chunk(start, length):
+            # L: line w = start+k, d -> gflip col (W-1-w) + d; the chunk
+            #    window starts at the LAST line's base, static offsets
+            #    (length-1-k) per line.
+            # R: line w, d -> grad col w + d; window starts at `start`,
+            #    static offsets k per line.
+            base = (width - 1 - (start + length - 1)) if choice == "L" else start
             window = lax.dynamic_slice(
-                gpad, (0, start if choice == "L" else start),
-                (height, d_pad - 1 + length),
+                gpad, (0, base), (height, d_pad - 1 + length)
             )
             small = window < sgm_d
             lines = []
             for k in range(length):
-                block = lax.slice_in_dim(small, k, k + d_pad, axis=1)
+                local = (length - 1 - k) if choice == "L" else k
+                block = lax.slice_in_dim(small, local, local + d_pad, axis=1)
                 if choice == "L":
-                    # window col k+j holds grad col start+k-(D-1)+j, so
-                    # d = D-1-j: reverse the disparity axis
-                    block = lax.rev(block, (1,))
                     oor = (start + k) - disps < oor_lo
                 else:
                     oor = (start + k) + disps >= oor_hi
@@ -196,6 +226,16 @@ def _penalty_bits(
         oor = probe >= oor_hi
     idx = jnp.clip(probe, 0, width - 1)
 
+    if height * width * d_pad <= _B2_MATERIALIZE_LIMIT:
+        # one full gather outside the scan (e.g. 385 MB bool at half-res)
+        # is 4x faster than gathering per chunk inside it
+        b2_full = jnp.where(oor[None], True, jnp.take(small_other, idx, axis=1))
+
+        def b2_chunk(start, length):
+            return lax.dynamic_slice_in_dim(b2_full, start, length, axis=0)
+
+        return small_d1, b2_chunk
+
     def b2_chunk(start, length):
         rows = lax.dynamic_slice_in_dim(small_other, start, length, axis=0)
         block = jnp.take(rows, idx, axis=1)  # (length, W, D)
@@ -211,22 +251,22 @@ def _sweep(
     p1_base: float,
     p2_base: float,
     config: MatchConfig,
-    axis: int,
     forward: bool,
     chunk: int = 8,
 ) -> jax.Array:
-    """One DP sweep along ``axis`` (0 = vertical, 1 = horizontal).
+    """One DP sweep along dim 0 of ``volume`` (lines = dim-0 slices).
 
     The first line in sweep order is kept. The scan carries the whole
     volume plus the previous DP line and processes ``chunk`` lines per
     step with a static inner loop — one line per scan step leaves the
     device idle on while-loop bookkeeping (~30us/step); chunking
-    amortizes it. Both axes sweep natively — no transposes. D2 penalty
-    bits come from ``b2_chunk(start, length) -> (length, perp, D)``,
-    built inside each step (see ``_penalty_bits``).
+    amortizes it. Dim-0 updates are contiguous, which XLA aliases in
+    place (callers transpose for horizontal sweeps — see module
+    docstring). D2 penalty bits come from ``b2_chunk(start, length) ->
+    (length, perp, D)``, built inside each step (see ``_penalty_bits``).
     """
-    size = volume.shape[axis]
-    perp = volume.shape[1 - axis]
+    size = volume.shape[0]
+    perp = volume.shape[1]
     inv_q1 = 1.0 / config.sgm_q1
     inv_q2 = 1.0 / config.sgm_q2
     # DP math runs in f32 regardless of the volume storage dtype (bf16
@@ -252,14 +292,11 @@ def _sweep(
         )
         return cur + candidate - min_prev
 
-    def take_chunk(arr, start, length):
-        block = lax.dynamic_slice_in_dim(arr, start, length, axis=axis)
-        return jnp.moveaxis(block, axis, 0)  # (chunk, perp[, D])
-
     def step(carry, chunk_start):
         vol, prev = carry
-        cur_block = take_chunk(vol, chunk_start, chunk)
-        b1_block = take_chunk(small_d1, chunk_start, chunk)
+        cur_block = lax.dynamic_slice_in_dim(vol, chunk_start, chunk, axis=0)
+        b1_block = lax.dynamic_slice_in_dim(small_d1, chunk_start, chunk,
+                                            axis=0)
         b2_block = b2_chunk(chunk_start, chunk)
         lines = []
         for k in range(chunk):
@@ -268,20 +305,16 @@ def _sweep(
             lines.append(prev)
         if not forward:
             lines = lines[::-1]
-        new_block = jnp.moveaxis(
-            jnp.stack(lines, axis=0).astype(vol.dtype), 0, axis
-        )
+        new_block = jnp.stack(lines, axis=0).astype(vol.dtype)
         vol = lax.dynamic_update_slice_in_dim(vol, new_block, chunk_start,
-                                              axis=axis)
+                                              axis=0)
         return (vol, prev), None
 
     # the first line in sweep order is never updated; it seeds the carry
     interior = size - 1
     remainder = interior % chunk
     first = 0 if forward else size - 1
-    prev = lax.index_in_dim(
-        volume, first, axis=axis, keepdims=False
-    ).astype(jnp.float32)
+    prev = volume[first].astype(jnp.float32)
 
     # prologue: a few single-line static steps until the rest is chunkable
     prologue = (
@@ -291,13 +324,10 @@ def _sweep(
     )
     for idx in prologue:
         prev = dp_line(
-            prev,
-            lax.index_in_dim(volume, idx, axis=axis, keepdims=False),
-            lax.index_in_dim(small_d1, idx, axis=axis, keepdims=False),
-            b2_chunk(idx, 1)[0],
+            prev, volume[idx], small_d1[idx], b2_chunk(idx, 1)[0]
         )
         volume = lax.dynamic_update_index_in_dim(
-            volume, prev.astype(volume.dtype), idx, axis=axis
+            volume, prev.astype(volume.dtype), idx, axis=0
         )
 
     num_chunks = interior // chunk
