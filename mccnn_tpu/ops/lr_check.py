@@ -13,13 +13,15 @@ reference comment at :318); occlusion -> nearest match strictly to the right
 with no found neighbor keep their raw value.
 
 TPU design: the per-pixel directional searches are index propagation —
-``lax.cummax``/``cummin`` over match positions followed by one gather of the
-disparity at the found index. (An earlier ``lax.associative_scan``
+``lax.cummax``/``cummin`` over int32 codes that pack (position, disparity)
+so the disparity at the found position rides along in the scan and needs
+no gather (see ``_nearest_strict``). (An earlier ``lax.associative_scan``
 formulation was semantically identical but made the XLA TPU compiler hang
 for >45 min at full-res (2000x3008) when several scans share inputs in one
 program; the cumulative-op form compiles in seconds and is also faster.)
-The mismatch existence test is a 3-scatter reprojection over the disparity
-axis. No data-dependent loops.
+The mismatch existence test is a chunked scan over the disparity axis with
+an incrementally-rolled right map. No data-dependent loops, gathers, or
+scatters anywhere in this stage.
 """
 
 from __future__ import annotations
@@ -34,24 +36,35 @@ def _nearest_strict(values, seen, axis: int, toward_end: bool):
 
     ``toward_end=True`` searches toward increasing index (right/down).
     Returns (vals, flags): the value of ``values`` at the nearest position
-    with ``seen=True`` strictly beyond each position, and whether one exists.
+    with ``seen=True`` strictly beyond each position, and whether one exists
+    (``vals`` is 0 where no such position exists — callers gate on flags).
+
+    ``values`` must be integer-valued (it is: this stage runs on WTA
+    output, before subpixel refinement — same integrality `classify`
+    relies on) and < 2^14. That lets the value ride ALONG with its index
+    in one packed int32 cummax/cummin — position in the high bits, value
+    in the low bits — so the "disparity at the found index" needs no
+    gather at all (a per-element take_along_axis lane gather here cost
+    ~60 ms at half-res; the packed form runs in the scan itself).
     """
     size = values.shape[axis]
     iota = lax.broadcasted_iota(jnp.int32, values.shape, axis)
+    pack_bits = 14
+    vi = values.astype(jnp.int32)
+    packed = (iota << pack_bits) | vi
     if toward_end:
         # nearest seen at-or-after each position, then look one past self
-        idx = jnp.where(seen, iota, size)  # sentinel `size` = none
-        nearest = lax.cummin(idx, axis=axis, reverse=True)
-        nearest = jnp.roll(nearest, -1, axis=axis)
-        flags = (nearest < size) & (iota < size - 1)
+        near = jnp.where(seen, packed, size << pack_bits)  # sentinel = none
+        near = lax.cummin(near, axis=axis, reverse=True)
+        near = jnp.roll(near, -1, axis=axis)
+        flags = (near < (size << pack_bits)) & (iota < size - 1)
     else:
-        idx = jnp.where(seen, iota, -1)  # sentinel -1 = none
-        nearest = lax.cummax(idx, axis=axis)
-        nearest = jnp.roll(nearest, 1, axis=axis)
-        flags = (nearest >= 0) & (iota > 0)
-    safe = jnp.clip(nearest, 0, size - 1)
-    vals = jnp.take_along_axis(values, safe, axis=axis)
-    return vals, flags
+        near = jnp.where(seen, packed, -1)  # sentinel -1 = none
+        near = lax.cummax(near, axis=axis)
+        near = jnp.roll(near, 1, axis=axis)
+        flags = (near >= 0) & (iota > 0)
+    vals = jnp.where(flags, near & ((1 << pack_bits) - 1), 0)
+    return vals.astype(values.dtype), flags
 
 
 def classify(
@@ -75,25 +88,31 @@ def classify(
     )
 
     # exists d in [0, min(w+1, ndisp)) with |d - dR(h, w-d)| <= 1 ?
-    # Reprojection scatter instead of an O(ndisp) roll loop: with
-    # integer-valued dR (WTA output), |d - dR(w')| <= 1 at w' = w - d means
-    # d in {dR(w')-1, dR(w'), dR(w')+1}, i.e. column w' "explains" exactly
-    # the columns w = w' + dR(w') + delta, delta in {-1, 0, +1}, subject to
-    # 0 <= dR+delta < ndisp (and w' >= 0, automatic). Three scatters mark
-    # all explained columns — O(H*W) total instead of O(H*W*ndisp).
-    dr_int = right_disparity.astype(jnp.int32)
-    rows2 = jnp.broadcast_to(
-        jnp.arange(height, dtype=jnp.int32)[:, None], (height, width)
+    # A chunked scan over d with an incrementally-rolled dR: each step
+    # rolls the carried plane by `chunk` and tests `chunk` static shifts.
+    # (A 3-scatter reprojection formulation was exact too but TPU scatter
+    # is serialized: 43 ms vs 6 ms for this scan at half-res.)
+    chunk = 8
+    colsf = cols.astype(jnp.float32)
+
+    def step(carry, d_start):
+        acc, rolled = carry  # rolled = dR shifted right by d_start
+        for k in range(chunk):
+            d = d_start + k
+            shifted = jnp.roll(rolled, k, axis=1)
+            hit = (
+                (jnp.abs(d.astype(jnp.float32) - shifted) <= 1.0)
+                & (colsf >= d)
+                & (d < ndisp)
+            )
+            acc = acc | hit
+        return (acc, jnp.roll(rolled, chunk, axis=1)), None
+
+    nsteps = -(-ndisp // chunk)
+    starts = jnp.arange(0, nsteps * chunk, chunk, dtype=jnp.int32)
+    (mismatch, _), _ = lax.scan(
+        step, (jnp.zeros((height, width), bool), right_disparity), starts
     )
-    mismatch_marks = jnp.zeros((height, width), dtype=jnp.int32)
-    for delta in (-1, 0, 1):
-        d_cand = dr_int + delta
-        valid = (d_cand >= 0) & (d_cand < ndisp)
-        target = jnp.where(valid, cols + d_cand, width)  # width => dropped
-        mismatch_marks = mismatch_marks.at[rows2, target].max(
-            valid.astype(jnp.int32), mode="drop"
-        )
-    mismatch = mismatch_marks.astype(bool)
 
     return jnp.where(
         no_correspondence,

@@ -30,19 +30,19 @@ def subpixel_enhance(
     idx_plus = (disparity + 1.0).astype(jnp.int32)
     keep = (idx_minus < 0) | (idx_plus >= ndisp)
 
-    # one batched gather for all three fiber samples
-    stacked = jnp.stack(
-        [
-            jnp.clip(idx_minus, 0, d_pad - 1),
-            jnp.clip(idx_center, 0, d_pad - 1),
-            jnp.clip(idx_plus, 0, d_pad - 1),
-        ],
-        axis=-1,
-    )
-    samples = jnp.take_along_axis(left_volume, stacked, axis=-1)
-    c_minus = samples[..., 0]
-    c_center = samples[..., 1]
-    c_plus = samples[..., 2]
+    # Fiber samples via one-hot masked lane reductions instead of a
+    # take_along_axis lane gather: gathers along the minor (lane) dim are
+    # serialized on TPU (77 ms at half-res), while the three masked
+    # reductions fuse into one pass over the volume (10 ms).
+    iota = jnp.arange(d_pad, dtype=jnp.int32)
+
+    def fiber(idx):
+        onehot = iota[None, None, :] == jnp.clip(idx, 0, d_pad - 1)[..., None]
+        return jnp.sum(jnp.where(onehot, left_volume, 0.0), axis=-1)
+
+    c_minus = fiber(idx_minus)
+    c_center = fiber(idx_center)
+    c_plus = fiber(idx_plus)
 
     denom = 2.0 * (c_plus - 2.0 * c_center + c_minus)
     degenerate = denom == 0.0
