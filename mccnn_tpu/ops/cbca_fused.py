@@ -26,8 +26,11 @@ Two phase-1 (horizontal pass) variants:
     dot_general. (A per-row matmul loop bottoms out on Mosaic's ~1.7us
     per-instruction floor — measured 80 ms/round at half-res.)
 
-Phase 2 (vertical pass) is always the VPU arm-gated stencil over the
-VMEM-resident horizontal sums, accumulated in f32.
+Phase 2 (vertical pass) defaults to a column-batched MXU contraction over
+the span_h window rows for f32 volumes (the per-term VPU read-modify-write
+stencil is VMEM-bandwidth bound: ~50 of the 66 ms/round it replaced) and
+to the VPU arm-gated stencil for bf16 volumes (the bf16 MXU phase-2
+program hangs the remote Mosaic/XLA compiler).
 
 bfloat16 volumes are the full-resolution memory mode: storage bf16, all
 accumulation f32 — strictly tighter numerics than ops/cbca_mxu, which also
@@ -78,6 +81,7 @@ def _round_kernel(
     rows_total: int,
     cols_total: int,
     phase1: str,
+    phase2: str,
 ):
     halo = _HALO
     i = pl.program_id(0)
@@ -227,6 +231,46 @@ def _round_kernel(
 
         lax.fori_loop(1, radius + 1, horiz_body, None)
 
+    if phase2 == "mxu":
+        # Phase 2 (MXU): out[t, w, d] = sum_m vmask[w, m, t] mid[w, m, d],
+        # batched over columns. The per-term VPU read-modify-write loop
+        # below is VMEM-bandwidth bound (~50 ms/round of the measured
+        # 66 ms at half-res); the contraction over the span_h window rows
+        # moves it to the MXU. vmask is generated directly in (w, m, t)
+        # layout; mid is transposed once in VMEM.
+        compute_dtype = (
+            jnp.float32 if win_ref.dtype == jnp.float32 else jnp.bfloat16
+        )
+        precision = (
+            lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+        )
+        delta2 = (
+            lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 1)
+            - lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 2)
+            - halo
+        )
+        armu_t = armu_ref[:, :].T  # (TW, TH)
+        armd_t = armd_ref[:, :].T
+        vmask = (
+            (delta2 >= -armu_t[:, None, :]) & (delta2 <= armd_t[:, None, :])
+        ).astype(compute_dtype)
+        # transpose in f32, THEN cast: a bf16 sublane transpose crashes
+        # the Mosaic compiler (cf. the bf16-rotate limitation)
+        mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1).astype(
+            compute_dtype
+        )  # (TW, span_h, TD)
+        agg = lax.dot_general(
+            vmask,
+            mid_t,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (TW, TH, TD)
+        out_ref[:, :, :] = (
+            jnp.swapaxes(agg, 0, 1) * inv_ref[:, :][:, :, None]
+        ).astype(out_ref.dtype)
+        return
+
     # Phase 2 (VPU): vertical arm-gated stencil over the VMEM mid rows,
     # accumulated in f32, normalized once at the end. Out row t is mid row
     # HALO + t, so all offsets are static slices.
@@ -258,6 +302,7 @@ def cbca_fused(
     tile_d: int = 128,
     interpret: bool | None = None,
     phase1: str = "mxu",
+    phase2: str | None = None,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
@@ -271,6 +316,12 @@ def cbca_fused(
     """
     if num_iterations == 0:
         return volume
+    if phase2 is None:
+        # f32: the MXU phase 2 is a measured win (66.5 -> 45.8 ms/round at
+        # half-res scale). bf16: the same program HANGS the Mosaic/XLA
+        # remote compiler (>20 min, like the associative_scan pathology in
+        # CLAUDE.md) — bf16 volumes keep the VPU stencil.
+        phase2 = "mxu" if volume.dtype == jnp.float32 else "vpu"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_h is None:
@@ -323,6 +374,7 @@ def cbca_fused(
         rows_total=hp,
         cols_total=wp,
         phase1=phase1,
+        phase2=phase2,
     )
     span_h = tile_h + 2 * _HALO
     span_w = tile_w + 2 * _HALO
