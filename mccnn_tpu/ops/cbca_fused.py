@@ -237,13 +237,9 @@ def _round_kernel(
         # below is VMEM-bandwidth bound (~50 ms/round of the measured
         # 66 ms at half-res); the contraction over the span_h window rows
         # moves it to the MXU. vmask is generated directly in (w, m, t)
-        # layout; mid is transposed once in VMEM.
-        compute_dtype = (
-            jnp.float32 if win_ref.dtype == jnp.float32 else jnp.bfloat16
-        )
-        precision = (
-            lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
-        )
+        # layout; mid is transposed once in VMEM. Always f32: the flops
+        # are tiny (K = span_h), the result is exact, and the bf16
+        # version of this dot hangs the Mosaic compiler.
         delta2 = (
             lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 1)
             - lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 2)
@@ -253,18 +249,14 @@ def _round_kernel(
         armd_t = armd_ref[:, :].T
         vmask = (
             (delta2 >= -armu_t[:, None, :]) & (delta2 <= armd_t[:, None, :])
-        ).astype(compute_dtype)
-        # transpose in f32, THEN cast: a bf16 sublane transpose crashes
-        # the Mosaic compiler (cf. the bf16-rotate limitation)
-        mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1).astype(
-            compute_dtype
-        )  # (TW, span_h, TD)
+        ).astype(jnp.float32)
+        mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1)  # (TW, span_h, TD) f32
         agg = lax.dot_general(
             vmask,
             mid_t,
             (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=lax.Precision.HIGHEST,
         )  # (TW, TH, TD)
         out_ref[:, :, :] = (
             jnp.swapaxes(agg, 0, 1) * inv_ref[:, :][:, :, None]
@@ -317,11 +309,10 @@ def cbca_fused(
     if num_iterations == 0:
         return volume
     if phase2 is None:
-        # f32: the MXU phase 2 is a measured win (66.5 -> 45.8 ms/round at
-        # half-res scale). bf16: the same program HANGS the Mosaic/XLA
-        # remote compiler (>20 min, like the associative_scan pathology in
-        # CLAUDE.md) — bf16 volumes keep the VPU stencil.
-        phase2 = "mxu" if volume.dtype == jnp.float32 else "vpu"
+        # Measured per round: f32 half-res 66.5 (vpu) -> 45.8 ms (mxu);
+        # bf16 full-res 327.7 (vpu) -> 172.0 ms (mxu). The phase-2 dot
+        # itself always runs f32 — a bf16 phase-2 dot hangs the compiler.
+        phase2 = "mxu"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_h is None:
