@@ -36,11 +36,13 @@ full-res scale (an earlier version gathered it up front; that one gather
 was an 11.75 GB f32 allocation and the single biggest obstacle to fitting
 the ~6 MP / ndisp-400 problem in one chip's HBM). Horizontal sweeps build
 it per scan chunk from static window slices of the other image's gradient
-— always cheap. Vertical sweeps need a banded (w - d) gather with no
-contiguous-window structure; the per-chunk gather costs 133 ms/sweep vs
-31 ms materialized, so the full bool gather IS materialized when it fits
-(under ``_B2_MATERIALIZE_LIMIT`` elements) and chunk-gathered only at
-full-res scale.
+— always cheap. Vertical sweeps need a banded (w - d) probe with no
+contiguous-window structure; the full bool gather IS materialized when it
+fits (under ``_B2_MATERIALIZE_LIMIT`` elements; at half-res that is 4x
+faster than any per-chunk construction), and at full-res scale the chunks
+come from D-wide sliding windows via ``conv_general_dilated_patches``
+(a per-chunk jnp.take gather measured 905 ms/sweep at full-res; the
+patches form is pure data movement).
 """
 
 from __future__ import annotations
@@ -59,8 +61,12 @@ from mccnn_tpu.utils.config import MatchConfig
 _DIRECTIONS = ((0, 1), (0, -1), (-1, 0), (1, 0))
 
 # materialize the vertical-sweep D2 bool volume when it has at most this
-# many elements (1 byte each); above it, build it per scan chunk instead
-_B2_MATERIALIZE_LIMIT = 600_000_000
+# many elements (1 byte each); above it, build it per scan chunk instead.
+# Covers full-res (2000x3072x512 = 3.15G, a 3.1 GB bool): even there the
+# one big constant-index gather + in-scan slicing is 7x faster than any
+# per-chunk construction (99.5 ms/sweep vs 682 conv-patches / 905 gather),
+# and the sequential-volume schedule has the headroom for it.
+_B2_MATERIALIZE_LIMIT = 4_000_000_000
 
 
 def sgm(
@@ -236,9 +242,28 @@ def _penalty_bits(
 
         return small_d1, b2_chunk
 
+    # full-res scale: build the banded probe per scan chunk from D-wide
+    # sliding windows of the gradient rows via an identity-filter conv
+    # (pure data movement). The per-chunk jnp.take gather it replaces
+    # cost 905 ms/sweep at full-res (TPU serializes per-element gathers).
+    # For L the rows are flipped so the descending-d band becomes an
+    # ascending window: pat[i, d, x] = gflip[x + d] = grad[w - d] at
+    # w = W-1-x; right-pad reads are zeros (-> True) and land exactly on
+    # the out-of-range region the oor mask overwrites.
+    if choice == "L":
+        gpad = jnp.pad(grad_other[:, ::-1], ((0, 0), (0, d_pad)))
+    else:
+        gpad = jnp.pad(grad_other, ((0, 0), (0, d_pad)))
+
     def b2_chunk(start, length):
-        rows = lax.dynamic_slice_in_dim(small_other, start, length, axis=0)
-        block = jnp.take(rows, idx, axis=1)  # (length, W, D)
+        rows = lax.dynamic_slice_in_dim(gpad, start, length, axis=0)
+        pat = lax.conv_general_dilated_patches(
+            rows[:, None, :], filter_shape=(d_pad,), window_strides=(1,),
+            padding="VALID",
+        )[:, :, :width]  # (length, D, W): pat[i, d, x] = rows[i, x + d]
+        block = (pat < sgm_d).transpose(0, 2, 1)  # (length, W, D)
+        if choice == "L":
+            block = block[:, ::-1, :]
         return jnp.where(oor[None], True, block)
 
     return small_d1, b2_chunk

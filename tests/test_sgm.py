@@ -129,3 +129,32 @@ def test_pad_lanes_stay_big(rng):
     )
     assert np.all(np.asarray(out_l)[:, :, ndisp:] > 0.5 * BIG_COST)
     assert np.all(np.asarray(out_r)[:, :, ndisp:] > 0.5 * BIG_COST)
+
+
+@pytest.mark.parametrize("direction", [(-1, 0), (1, 0)])
+@pytest.mark.parametrize("choice", ["L", "R"])
+def test_vertical_sweep_chunked_b2_matches_oracle(rng, direction, choice,
+                                                  monkeypatch):
+    """The full-res D2 path (conv-patches per scan chunk, taken when the
+    bool probe volume exceeds _B2_MATERIALIZE_LIMIT) is oracle-exact."""
+    import sys
+
+    # `mccnn_tpu.ops` re-exports the `sgm` FUNCTION, which shadows the
+    # submodule on attribute-style import — go through sys.modules
+    sgm_mod = sys.modules["mccnn_tpu.ops.sgm"]
+    monkeypatch.setattr(sgm_mod, "_B2_MATERIALIZE_LIMIT", 0)
+    img_l, img_r, ref_volume = _problem(rng, height=10, width=17, ndisp=5)
+    ndisp = ref_volume.shape[0]
+    p1_eff = CFG.sgm_p1 / CFG.sgm_v
+
+    ours = _directional_sweep(
+        jnp.asarray(_pad_volume(ref_volume)),
+        jnp.asarray(img_l), jnp.asarray(img_r),
+        choice, direction, ndisp, CFG,
+    )
+    expected = sgm_sweep_oracle(
+        img_l, img_r, ref_volume.copy(), direction,
+        p1_eff, CFG.sgm_p2, CFG.sgm_q1, CFG.sgm_q2, CFG.sgm_d, choice,
+    )
+    np.testing.assert_allclose(_unpad(ours, ndisp), expected,
+                               rtol=1e-5, atol=1e-5)
