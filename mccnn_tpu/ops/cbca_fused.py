@@ -8,33 +8,35 @@ replaces both the dense (H, W, W)+(W, H, H) HBM mask stacks of ops/cbca_mxu
 memory wall) and the HBM round-trip of the (H, W, D) horizontal-sum
 intermediate that every XLA formulation pays per round.
 
-Block canonicalization: the haloed read window is DMA'd with *clamped*
-bases (no padded volume copies per round), then normalized with one roll
-per axis — 3 static-shift branches selected on the clamp offset — so that
-window row m <-> global row i*TH - HALO + m and column c <-> global column
-j*TW - HALO + c for every block, including borders. All stencil reads are
-then static-offset slices; rolled-in wrap values correspond to
-out-of-image pixels and are zero-gated by the border-capped arms
-(arm_up[h] <= h etc.), so they never contribute.
+Both phases ride the MXU with masks generated in VMEM from the arm planes:
 
-Two phase-1 (horizontal pass) variants:
-  * "vpu" (default): the 2*radius+1-term arm-gated stencil vectorized over
-    the whole block. Exact-order f32 accumulation (matches ops/cbca's
-    stencil semantics); supports f32 and bf16 volumes.
-  * "mxu": banded 0/1 masks (span_w source x TW dest columns) generated in
-    VMEM from the arm planes and contracted on the MXU as ONE row-batched
-    dot_general. (A per-row matmul loop bottoms out on Mosaic's ~1.7us
-    per-instruction floor — measured 80 ms/round at half-res.)
+  * Phase 1 (horizontal): banded 0/1 masks (span_w source x TW dest
+    columns) contracted as ONE row-batched dot_general. (A per-row matmul
+    loop bottoms out on Mosaic's ~1.7us per-instruction floor — measured
+    80 ms/round at half-res; a per-term VPU stencil is VMEM-bandwidth
+    bound at 116 ms.)
+  * Phase 2 (vertical): a column-batched dot_general contracting the
+    span_h window rows, with the vertical mask generated directly in
+    (w, m, t) layout and mid transposed once in VMEM. The dot always
+    computes f32 (its flops are tiny — K = span_h — the result is exact,
+    and the bf16 version of the same dot hangs the Mosaic compiler).
+    Replacing the VPU read-modify-write stencil here took the f32 round
+    66.5 -> 45.8 ms (half-res) and the bf16 full-res round 328 -> 172 ms.
 
-Phase 2 (vertical pass) defaults to a column-batched MXU contraction over
-the span_h window rows for f32 volumes (the per-term VPU read-modify-write
-stencil is VMEM-bandwidth bound: ~50 of the 66 ms/round it replaced) and
-to the VPU arm-gated stencil for bf16 volumes (the bf16 MXU phase-2
-program hangs the remote Mosaic/XLA compiler).
+Border handling needs NO data canonicalization: the haloed read window is
+DMA'd with *clamped* bases (no padded volume copies per round), and the
+clamp offsets (row_off / col_off, each in {0, HALO, 2*HALO}) are folded
+into the mask arithmetic — mask[m, a, b] tests (a - b - col_off) against
+the horizontal arms and vmask[w, m, t] tests (m - t - row_off) against the
+vertical ones. The border-capped arms (arm_up[h] <= h etc.) guarantee every
+gated source lies inside the clamped window, so no out-of-window value is
+ever touched. (An earlier version physically rolled the window into a
+canonical layout first — two full-window VMEM copies per block plus two
+scratch buffers, all dead weight.)
 
-bfloat16 volumes are the full-resolution memory mode: storage bf16, all
-accumulation f32 — strictly tighter numerics than ops/cbca_mxu, which also
-quantizes the horizontal sums to bf16.
+bfloat16 volumes are the full-resolution memory mode: storage bf16,
+phase-1 multiplies bf16, all accumulation f32 — strictly tighter numerics
+than ops/cbca_mxu, which also quantizes the horizontal sums to bf16.
 """
 
 from __future__ import annotations
@@ -65,13 +67,9 @@ def _round_kernel(
     inv_ref,     # (TH, TW) f32 block (1 / region size)
     out_ref,     # (TH, TW, TD) block
     win_ref,     # scratch (TH + 2*HALO, TW + 2*HALO, TD), volume dtype
-    canon_ref,   # scratch, same shape — roll ping-pong
-    mid_ref,     # scratch (TH + 2*HALO, TW, TD) f32
-    acc_ref,     # scratch (TH, TW, TD) f32 phase-2 accumulator
+    mid_ref,     # scratch (TH + 2*HALO, TW, TD) f32 horizontal sums
     arml_vmem,   # scratch (TH + 2*HALO, TW) int32 (DMA'd, window rows)
     armr_vmem,
-    arml_canon,  # scratch (TH + 2*HALO, TW) int32 (row-canonical)
-    armr_canon,
     dma_sems,
     *,
     radius: int,
@@ -80,8 +78,6 @@ def _round_kernel(
     tile_d: int,
     rows_total: int,
     cols_total: int,
-    phase1: str,
-    phase2: str,
 ):
     halo = _HALO
     i = pl.program_id(0)
@@ -115,7 +111,8 @@ def _round_kernel(
             win_ref,
             dma_sems.at[0],
         ),
-        # arm planes at the *destination* columns (aligned at j*TW)
+        # arm planes at the *destination* columns (aligned at j*TW), at
+        # the window's rows (same row_base => rows align with win_ref)
         pltpu.make_async_copy(
             arml_hbm.at[pl.ds(row_base, span_h),
                         pl.ds(pl.multiple_of(j * tile_w, 128), tile_w)],
@@ -134,153 +131,59 @@ def _round_kernel(
     for copy in copies:
         copy.wait()
 
-    # column canonicalization: canon[c] = win[c + col_off - HALO].
-    # Static slice copies (the 16-column shift is sublane-aligned) — a
-    # rotate would hit Mosaic's "non-32-bit rotate" limitation for bf16.
-    for off_value in (0, halo, 2 * halo):
-        shift = halo - off_value  # columns move right by `shift`
+    compute_dtype = (
+        jnp.float32 if win_ref.dtype == jnp.float32 else jnp.bfloat16
+    )
+    precision = (
+        lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+    )
 
-        @pl.when(col_off == off_value)
-        def _(shift=shift):
-            if shift == 0:
-                canon_ref[:, :, :] = win_ref[:, :, :]
-            elif shift > 0:
-                canon_ref[:, shift:, :] = win_ref[:, : span_w - shift, :]
-                canon_ref[:, :shift, :] = win_ref[:, span_w - shift:, :]
-            else:
-                s = -shift
-                canon_ref[:, : span_w - s, :] = win_ref[:, s:, :]
-                canon_ref[:, span_w - s:, :] = win_ref[:, :s, :]
+    # Phase 1 (MXU): mid[m, b, d] = sum_a mask[m, a, b] win[m, a, d].
+    # Window column a holds global column col_base + a; dest column b is
+    # global col_base + col_off + b, so the source-dest offset is
+    # a - b - col_off; it must lie within [-left_arm, right_arm].
+    delta = (
+        lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 1)
+        - lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 2)
+        - col_off
+    )
+    mask = (
+        (delta >= -arml_vmem[:, :][:, None, :])
+        & (delta <= armr_vmem[:, :][:, None, :])
+    ).astype(compute_dtype)
+    mid_ref[:, :, :] = lax.dot_general(
+        mask,
+        win_ref[:, :, :].astype(compute_dtype),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
 
-    # row canonicalization (dim 0 is untiled: two static slice copies),
-    # applied to the volume block and the horizontal arm planes together
-    for off_value in (0, halo, 2 * halo):
-        shift = halo - off_value  # rows move down by `shift`
-
-        @pl.when(row_off == off_value)
-        def _(shift=shift):
-            if shift == 0:
-                win_ref[:, :, :] = canon_ref[:, :, :]
-                arml_canon[:, :] = arml_vmem[:, :]
-                armr_canon[:, :] = armr_vmem[:, :]
-            elif shift > 0:
-                win_ref[shift:, :, :] = canon_ref[: span_h - shift, :, :]
-                win_ref[:shift, :, :] = canon_ref[span_h - shift:, :, :]
-                arml_canon[shift:, :] = arml_vmem[: span_h - shift, :]
-                arml_canon[:shift, :] = arml_vmem[span_h - shift:, :]
-                armr_canon[shift:, :] = armr_vmem[: span_h - shift, :]
-                armr_canon[:shift, :] = armr_vmem[span_h - shift:, :]
-            else:
-                s = -shift
-                win_ref[: span_h - s, :, :] = canon_ref[s:, :, :]
-                win_ref[span_h - s:, :, :] = canon_ref[:s, :, :]
-                arml_canon[: span_h - s, :] = arml_vmem[s:, :]
-                arml_canon[span_h - s:, :] = arml_vmem[:s, :]
-                armr_canon[: span_h - s, :] = armr_vmem[s:, :]
-                armr_canon[span_h - s:, :] = armr_vmem[:s, :]
-
-    def gate(plane, offset):
-        return (plane >= offset).astype(jnp.float32)[:, :, None]
-
-    if phase1 == "mxu":
-        compute_dtype = (
-            jnp.float32 if win_ref.dtype == jnp.float32 else jnp.bfloat16
-        )
-        precision = (
-            lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
-        )
-        # banded masks for ALL rows at once: mask[m, a, b] = 1 iff source
-        # column (a - HALO) - b is within [-left, right] of dest column b
-        delta = (
-            lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 1)
-            - lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 2)
-            - halo
-        )
-        mask = (
-            (delta >= -arml_canon[:, :][:, None, :])
-            & (delta <= armr_canon[:, :][:, None, :])
-        ).astype(compute_dtype)
-        # one row-batched matmul: mid[m, b, d] = sum_a mask[m,a,b] win[m,a,d]
-        mid_ref[:, :, :] = lax.dot_general(
-            mask,
-            win_ref[:, :, :].astype(compute_dtype),
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-    else:
-        # Phase 1 (VPU): horizontal arm-gated stencil over all span_h rows
-        # at once; every slice is static thanks to the canonicalization.
-        mid_ref[:, :, :] = win_ref[:, halo: halo + tile_w, :].astype(
-            jnp.float32
-        )
-
-        def horiz_body(offset, _):
-            right = win_ref[:, pl.ds(halo + offset, tile_w), :].astype(
-                jnp.float32
-            )
-            left = win_ref[:, pl.ds(halo - offset, tile_w), :].astype(
-                jnp.float32
-            )
-            mid_ref[:, :, :] = (
-                mid_ref[:, :, :]
-                + gate(armr_canon[:, :], offset) * right
-                + gate(arml_canon[:, :], offset) * left
-            )
-            return _
-
-        lax.fori_loop(1, radius + 1, horiz_body, None)
-
-    if phase2 == "mxu":
-        # Phase 2 (MXU): out[t, w, d] = sum_m vmask[w, m, t] mid[w, m, d],
-        # batched over columns. The per-term VPU read-modify-write loop
-        # below is VMEM-bandwidth bound (~50 ms/round of the measured
-        # 66 ms at half-res); the contraction over the span_h window rows
-        # moves it to the MXU. vmask is generated directly in (w, m, t)
-        # layout; mid is transposed once in VMEM. Always f32: the flops
-        # are tiny (K = span_h), the result is exact, and the bf16
-        # version of this dot hangs the Mosaic compiler.
-        delta2 = (
-            lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 1)
-            - lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 2)
-            - halo
-        )
-        armu_t = armu_ref[:, :].T  # (TW, TH)
-        armd_t = armd_ref[:, :].T
-        vmask = (
-            (delta2 >= -armu_t[:, None, :]) & (delta2 <= armd_t[:, None, :])
-        ).astype(jnp.float32)
-        mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1)  # (TW, span_h, TD) f32
-        agg = lax.dot_general(
-            vmask,
-            mid_t,
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )  # (TW, TH, TD)
-        out_ref[:, :, :] = (
-            jnp.swapaxes(agg, 0, 1) * inv_ref[:, :][:, :, None]
-        ).astype(out_ref.dtype)
-        return
-
-    # Phase 2 (VPU): vertical arm-gated stencil over the VMEM mid rows,
-    # accumulated in f32, normalized once at the end. Out row t is mid row
-    # HALO + t, so all offsets are static slices.
-    acc_ref[:, :, :] = mid_ref[halo: halo + tile_h, :, :]
-
-    def vert_body(offset, _):
-        down = mid_ref[pl.ds(halo + offset, tile_h), :, :]
-        up = mid_ref[pl.ds(halo - offset, tile_h), :, :]
-        acc_ref[:, :, :] = (
-            acc_ref[:, :, :]
-            + gate(armd_ref[:, :], offset) * down
-            + gate(armu_ref[:, :], offset) * up
-        )
-        return _
-
-    lax.fori_loop(1, radius + 1, vert_body, None)
+    # Phase 2 (MXU): out[t, w, d] = sum_m vmask[w, m, t] mid[w, m, d],
+    # batched over columns. Mid row m holds global row row_base + m; out
+    # row t is global row_base + row_off + t, so the source-dest offset
+    # is m - t - row_off; it must lie within [-up_arm, down_arm]. Always
+    # f32 (see module docstring).
+    delta2 = (
+        lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 1)
+        - lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 2)
+        - row_off
+    )
+    armu_t = armu_ref[:, :].T  # (TW, TH)
+    armd_t = armd_ref[:, :].T
+    vmask = (
+        (delta2 >= -armu_t[:, None, :]) & (delta2 <= armd_t[:, None, :])
+    ).astype(jnp.float32)
+    mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1)  # (TW, span_h, TD) f32
+    agg = lax.dot_general(
+        vmask,
+        mid_t,
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )  # (TW, TH, TD)
     out_ref[:, :, :] = (
-        acc_ref[:, :, :] * inv_ref[:, :][:, :, None]
+        jnp.swapaxes(agg, 0, 1) * inv_ref[:, :][:, :, None]
     ).astype(out_ref.dtype)
 
 
@@ -291,32 +194,32 @@ def cbca_fused(
     distance_threshold: int = 14,
     tile_h: int | None = None,
     tile_w: int = 128,
-    tile_d: int = 128,
+    tile_d: int | None = None,
     interpret: bool | None = None,
-    phase1: str = "mxu",
-    phase2: str | None = None,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
     Falls back to the XLA stencil for shapes smaller than one haloed tile.
-    Measured per round at half-res scale (1000x1504x256, v5e): phase1
-    "mxu" (row-batched dot) 66 ms f32 / 43 ms bf16; "vpu" (gated stencil)
-    116 ms f32 — "mxu" is the default. The dense-mask einsum
-    (ops/cbca_mxu.py, 21 ms/round) stays the half-res champion but its
-    O(H*W*W) masks are impossible at full-res; this kernel is the full-res
-    and sharded path.
+    Measured per round on v5e: 45.8 ms f32 at half-res scale
+    (1000x1504x256), 172 ms bf16 at full-res scale (2000x3072x512). The
+    dense-mask einsum (ops/cbca_mxu.py, 27.8 ms/round) stays the half-res
+    champion but its O(H*W*W) masks are impossible at full-res; this
+    kernel is the full-res and sharded path.
     """
     if num_iterations == 0:
         return volume
-    if phase2 is None:
-        # Measured per round: f32 half-res 66.5 (vpu) -> 45.8 ms (mxu);
-        # bf16 full-res 327.7 (vpu) -> 172.0 ms (mxu). The phase-2 dot
-        # itself always runs f32 — a bf16 phase-2 dot hangs the compiler.
-        phase2 = "mxu"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_h is None:
         tile_h = 16
+    if tile_d is None:
+        # bf16 halves the window VMEM; spending it on a deeper d tile
+        # halves the mask-generation passes (full-res: 155 -> 148
+        # ms/round). f32 at tile_d=256 exceeds VMEM (compiler crash).
+        tile_d = (
+            256 if volume.dtype == jnp.bfloat16 and volume.shape[2] >= 256
+            else 128
+        )
     if tile_h % 16 or tile_w % 128 or tile_d % 128:
         raise ValueError(
             "tile_h must be a multiple of 16 and tile_w/tile_d of 128 "
@@ -364,18 +267,12 @@ def cbca_fused(
         tile_d=tile_d,
         rows_total=hp,
         cols_total=wp,
-        phase1=phase1,
-        phase2=phase2,
     )
     span_h = tile_h + 2 * _HALO
     span_w = tile_w + 2 * _HALO
     scratch_shapes = [
         pltpu.VMEM((span_h, span_w, tile_d), volume.dtype),  # window
-        pltpu.VMEM((span_h, span_w, tile_d), volume.dtype),  # roll temp
         pltpu.VMEM((span_h, tile_w, tile_d), jnp.float32),   # mid (f32)
-        pltpu.VMEM((tile_h, tile_w, tile_d), jnp.float32),   # acc
-        pltpu.VMEM((span_h, tile_w), jnp.int32),
-        pltpu.VMEM((span_h, tile_w), jnp.int32),
         pltpu.VMEM((span_h, tile_w), jnp.int32),
         pltpu.VMEM((span_h, tile_w), jnp.int32),
         pltpu.SemaphoreType.DMA((3,)),

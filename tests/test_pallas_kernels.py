@@ -87,14 +87,15 @@ def test_cbca_mxu_matches_exact_within_bf16(rng):
     assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
 
 
-@pytest.mark.parametrize("phase1", ["vpu", "mxu"])
+@pytest.mark.parametrize("tile_h", [16, 32])
 @pytest.mark.parametrize("iterations,dist", [(1, 14), (2, 4)])
-def test_cbca_fused_matches_xla(rng, iterations, dist, phase1):
+def test_cbca_fused_matches_xla(rng, iterations, dist, tile_h):
     from mccnn_tpu.ops.cbca_fused import cbca_fused
 
-    # big enough that the kernel path (not the tiny-shape fallback) runs,
-    # non-multiples of the tiles so clamped border blocks are exercised
-    height, width, ndisp = 52, 150, 5
+    # big enough that the kernel path (not the tiny-shape fallback) runs
+    # for every tile_h, non-multiples of the tiles so clamped border
+    # blocks (row_off/col_off folded into the masks) are exercised
+    height, width, ndisp = 100, 150, 5
     d_pad = 128
     image = rng.normal(size=(height, width)).astype(np.float32)
     volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
@@ -105,7 +106,7 @@ def test_cbca_fused_matches_xla(rng, iterations, dist, phase1):
     expected = np.asarray(cbca(jnp.asarray(volume), arms, iterations, dist))
     ours = np.asarray(
         cbca_fused(jnp.asarray(volume), arms, iterations, dist,
-                   interpret=True, phase1=phase1)
+                   interpret=True, tile_h=tile_h)
     )
     assert ours.shape == volume.shape
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
