@@ -110,26 +110,34 @@ def _band_kernel(
 
 
 def _skew_rows(matrix: jax.Array, num_rows: int) -> jax.Array:
-    """M'[u, k] = M[u, (k + u) mod L] via log-many conditional lane rolls.
+    """M'[..., u, k] = M[..., u, (k + u) mod L] via conditional lane rolls.
 
     Realizes the per-row variable shift (a diagonal extraction) as
     log2(num_rows) masked uniform rolls — the trick that lets the band be
-    read out of an MXU product with vector ops only.
+    read out of an MXU product with vector ops only. Works on a 2D matrix
+    or a row-batched 3D stack (u is always the second-minor dim).
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (matrix.shape[0], 1), 0)
-    lanes = matrix.shape[1]
+    # This skew needs per-row LEFT rolls (+u); Mosaic's strided roll only
+    # supports small non-negative strides (1..16 measured; the -1 == L-1
+    # stride crashes the compiler), so it stays a log2(num_rows) ladder of
+    # masked uniform rolls. The decreasing skew below IS one strided roll.
+    axis = matrix.ndim - 1
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, matrix.shape[:-1] + (1,), matrix.ndim - 2
+    )
+    lanes = matrix.shape[-1]
     bit = 1
     while bit < num_rows:
         # left-roll by `bit` == right-roll by (lanes - bit); pltpu.roll
         # requires non-negative shifts
-        rolled = pltpu.roll(matrix, lanes - bit, axis=1)
+        rolled = pltpu.roll(matrix, lanes - bit, axis=axis)
         matrix = jnp.where((rows & bit) != 0, rolled, matrix)
         bit <<= 1
     return matrix
 
 
 def _skew_rows_neg(matrix: jax.Array, num_rows: int) -> jax.Array:
-    """M'[u, k] = M[u, (k - u) mod L] — the decreasing-diagonal skew.
+    """M'[..., u, k] = M[..., u, (k - u) mod L] — decreasing diagonals.
 
     Row-gated RIGHT rolls (gates depend only on the row index, which lane
     rolls never move, so the per-bit composition is exact). Reading the
@@ -138,13 +146,14 @@ def _skew_rows_neg(matrix: jax.Array, num_rows: int) -> jax.Array:
     disparity order: no reversed tile maps, no XLA-level flip copy of the
     whole volume afterwards.
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (matrix.shape[0], 1), 0)
-    bit = 1
-    while bit < num_rows:
-        rolled = pltpu.roll(matrix, bit, axis=1)
-        matrix = jnp.where((rows & bit) != 0, rolled, matrix)
-        bit <<= 1
-    return matrix
+    # ONE hardware strided roll: right-roll by +u per second-minor index
+    # u gives M[u, (k - u) mod L] directly. (The former log2 masked-roll
+    # ladder was the band kernel's real bottleneck — 7 full-buffer rolls
+    # per band — not the MXU dots.)
+    del num_rows
+    return pltpu.roll(
+        matrix, 0, matrix.ndim - 1, stride=1, stride_axis=matrix.ndim - 2,
+    )
 
 
 def _finalize_tile(band: jax.Array, k, tile_d: int, ndisp: int | None,
@@ -162,7 +171,10 @@ def _finalize_tile(band: jax.Array, k, tile_d: int, ndisp: int | None,
         return band.astype(dtype)
     from mccnn_tpu.ops.common import BIG_COST
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, band.shape, 1) + k * tile_d
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, band.shape, band.ndim - 1)
+        + k * tile_d
+    )
     return jnp.where(lane < ndisp, -band, BIG_COST).astype(dtype)
 
 
@@ -222,34 +234,35 @@ def _band_kernel_mxu(
     for copy in copies:
         copy.wait()
 
-    for h in range(tile_h):
-        # corr[u, t] = <anchor[u], ctx[t]> on the MXU (contract channels)
-        corr_l = jax.lax.dot_general(
-            fl_tile[h, :, :], fr_ctx[h, :, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TW, TW + TD); reversed ctx: col t = fr[left_ctx0 + TW+TD-1 - t]
-        corr_r = jax.lax.dot_general(
-            fr_tile[h, :, :], fl_ctx[h, :, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        # left band: out[u, v] = <fL(u), fR(u - v)> sits at corr_l col
-        # t = TW - 1 - u + v. One uniform roll (t' = t + 1) plus the
-        # decreasing-diagonal skew puts it at lane TW + v — an aligned
-        # static slice, in NATURAL disparity order (no flip anywhere).
-        skewed_l = _skew_rows_neg(pltpu.roll(corr_l, 1, axis=1), tile_w)
-        out_l_ref[h, :, :] = _finalize_tile(
-            skewed_l[:, tile_w: tile_w + tile_d], k, tile_d, ndisp,
-            out_l_ref.dtype,
-        )
-        # right band: out[u, v] = corr_r[u, u + v]
-        skewed_r = _skew_rows(corr_r, tile_w)
-        out_r_ref[h, :, :] = _finalize_tile(
-            skewed_r[:, :tile_d], k, tile_d, ndisp, out_r_ref.dtype,
-        )
+    # corr[h, u, t] = <anchor[h, u], ctx[h, t]> on the MXU (contract
+    # channels), ONE row-batched dot per tile — a per-row 2D-dot loop
+    # bottoms out on Mosaic's per-instruction floor at ~2.4 Tflops
+    corr_l = jax.lax.dot_general(
+        fl_tile[:, :, :], fr_ctx[:, :, :],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TH, TW, TW + TD); reversed ctx: col t = fr[...hi - t]
+    corr_r = jax.lax.dot_general(
+        fr_tile[:, :, :], fl_ctx[:, :, :],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # left band: out[u, v] = <fL(u), fR(u - v)> sits at corr_l col
+    # t = TW - 1 - u + v. One uniform roll (t' = t + 1) plus the
+    # decreasing-diagonal skew puts it at lane TW + v — an aligned
+    # static slice, in NATURAL disparity order (no flip anywhere).
+    skewed_l = _skew_rows_neg(pltpu.roll(corr_l, 1, axis=2), tile_w)
+    out_l_ref[:, :, :] = _finalize_tile(
+        skewed_l[:, :, tile_w: tile_w + tile_d], k, tile_d, ndisp,
+        out_l_ref.dtype,
+    )
+    # right band: out[u, v] = corr_r[u, u + v]
+    skewed_r = _skew_rows(corr_r, tile_w)
+    out_r_ref[:, :, :] = _finalize_tile(
+        skewed_r[:, :, :tile_d], k, tile_d, ndisp, out_r_ref.dtype,
+    )
 
 
 def _band_kernel_mxu_one(
@@ -300,22 +313,20 @@ def _band_kernel_mxu_one(
     for copy in copies:
         copy.wait()
 
-    for h in range(tile_h):
-        corr = jax.lax.dot_general(
-            anchor_tile[h, :, :], ctx_tile[h, :, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (TW, TW + TD)
-        if side == "left":
-            # reversed ctx + decreasing-diagonal skew: natural d order
-            skewed = _skew_rows_neg(pltpu.roll(corr, 1, axis=1), tile_w)
-            band = skewed[:, tile_w: tile_w + tile_d]
-        else:
-            skewed = _skew_rows(corr, tile_w)
-            band = skewed[:, :tile_d]
-        out_ref[h, :, :] = _finalize_tile(band, k, tile_d, ndisp,
-                                          out_ref.dtype)
+    corr = jax.lax.dot_general(
+        anchor_tile[:, :, :], ctx_tile[:, :, :],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TH, TW, TW + TD) — one row-batched dot (see _band_kernel_mxu)
+    if side == "left":
+        # reversed ctx + decreasing-diagonal skew: natural d order
+        skewed = _skew_rows_neg(pltpu.roll(corr, 1, axis=2), tile_w)
+        band = skewed[:, :, tile_w: tile_w + tile_d]
+    else:
+        skewed = _skew_rows(corr, tile_w)
+        band = skewed[:, :, :tile_d]
+    out_ref[:, :, :] = _finalize_tile(band, k, tile_d, ndisp, out_ref.dtype)
 
 
 def band_pair_pallas(
