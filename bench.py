@@ -144,8 +144,20 @@ def main(height: int = 1000, width: int = 1504, ndisp: int = 200,
     sync = jax.jit(lambda d: jnp.sum(d))
 
     t0 = time.time()
-    out = fn(params, left, right)
-    checksum = float(np.asarray(sync(out)))
+    # the remote-compile service occasionally 500s on a bad endpoint
+    # (transient; a retry is routed elsewhere) — don't let one flake kill
+    # the whole bench run
+    for attempt in range(3):
+        try:
+            out = fn(params, left, right)
+            checksum = float(np.asarray(sync(out)))
+            break
+        except Exception as exc:  # noqa: BLE001
+            if attempt == 2 or "remote_compile" not in str(exc):
+                raise
+            print(f"first call failed (attempt {attempt + 1}), retrying: "
+                  f"{str(exc)[:120]}", file=sys.stderr)
+            time.sleep(5)
     compile_and_first = time.time() - t0
     print(f"first call (incl. compile): {compile_and_first:.2f}s "
           f"(checksum {checksum:.1f})", file=sys.stderr)
