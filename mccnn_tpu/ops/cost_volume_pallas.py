@@ -8,12 +8,13 @@ opposite image in VMEM and compute
     right[h, w, d] = <fR(h, w), fL(h, w + d)>
 
 Two implementations:
-  * MXU (default): per row, one (TW, C) x (C, TW+TD) correlation matmul on
-    the systolic array (f32 via HIGHEST precision), then the band is read
-    off the product's diagonals with a *log-skew* — log2(TW) masked
-    uniform lane rolls realize the per-row variable shift with vector ops
-    only (Mosaic has no gather/rev). Measured 82 ms for both half-res
-    bands, exact to ~1e-5 of the f32 VPU path.
+  * MXU (default): ONE row-batched (TH; TW x C @ C x TW+TD) correlation
+    dot_general on the systolic array (f32 via HIGHEST precision), then
+    the band is read off the product's diagonals by skewing — the left
+    band with a single hardware strided roll, the right band with a
+    log2(TW) ladder of masked uniform lane rolls (Mosaic has no
+    gather/rev, and its strided roll only takes strides 1..16 — the
+    increasing skew would need -1). Exact to ~1e-5 of the f32 VPU path.
   * VPU (use_mxu=False): TD shifted multiply-reduce passes with W in the
     lane dimension. Measured 234 ms; kept as the bitwise-f32 path.
 
