@@ -45,6 +45,7 @@ class BatchPrefetcher:
         self._resume = threading.Event()
         self._epoch_done = threading.Event()
         self._stop = False
+        self._consumed = 0  # batches taken this epoch (consumer thread only)
         self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -74,7 +75,9 @@ class BatchPrefetcher:
             )
         while True:
             try:
-                return self._queue.get(timeout=0.5)
+                batch = self._queue.get(timeout=0.5)
+                self._consumed += 1
+                return batch
             except queue.Empty:
                 if self._error is not None:
                     raise self._error
@@ -83,14 +86,19 @@ class BatchPrefetcher:
 
     def reset(self) -> None:
         """End-of-epoch reshuffle; requires the epoch fully consumed."""
+        # check the consumed count BEFORE waiting on _epoch_done: with more
+        # than `depth` batches unconsumed the producer is blocked on the
+        # bounded queue.put() and will never set _epoch_done — waiting
+        # first would deadlock instead of reporting the misuse
+        if self._consumed != self._epoch_len and self._error is None:
+            raise RuntimeError(
+                "reset() before consuming the full epoch "
+                f"({self._consumed}/{self._epoch_len} batches consumed)"
+            )
         self._epoch_done.wait()
         if self._error is not None:
             raise self._error
-        if not self._queue.empty():
-            raise RuntimeError(
-                "reset() before consuming the full epoch "
-                f"({self._queue.qsize()} batches still queued)"
-            )
+        self._consumed = 0
         self._epoch_done.clear()
         self._sampler.reset()  # producer is idle: safe to touch its RNG
         self._resume.set()

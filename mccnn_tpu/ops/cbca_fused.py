@@ -17,26 +17,34 @@ Both phases ride the MXU with masks generated in VMEM from the arm planes:
     bound at 116 ms.)
   * Phase 2 (vertical): a column-batched dot_general contracting the
     span_h window rows, with the vertical mask generated directly in
-    (w, m, t) layout and mid transposed once in VMEM. The dot always
-    computes f32 (its flops are tiny — K = span_h — the result is exact,
-    and the bf16 version of the same dot hangs the Mosaic compiler).
-    Replacing the VPU read-modify-write stencil here took the f32 round
-    66.5 -> 45.8 ms (half-res) and the bf16 full-res round 328 -> 172 ms.
+    (w, m, t) layout — pre-scaled by 1/region_size, so the division is
+    free — and mid transposed once in VMEM. The dot always computes f32
+    (its flops are tiny — K = span_h — the result is exact, and the bf16
+    version of the same dot hangs the Mosaic compiler).
+
+v2 structure (round 3): the pallas grid is spatial only, (h_tiles,
+w_tiles); the disparity axis is an in-kernel fori_loop over tile_d-sized
+chunks with manual double-buffered DMA. This fixes the two v1
+inefficiencies the round-2 review called out: the masks (which depend
+only on (h, w)) are generated ONCE per spatial tile instead of once per
+(h, w, d) grid step, and the window read of chunk k+1 overlaps the
+matmuls of chunk k (v1's manual DMA was serialized with compute — the
+Mosaic grid pipeliner only overlaps BlockSpec operands). Output chunks
+are likewise written through a rotating DMA buffer.
 
 Border handling needs NO data canonicalization: the haloed read window is
 DMA'd with *clamped* bases (no padded volume copies per round), and the
 clamp offsets (row_off / col_off, each in {0, HALO, 2*HALO}) are folded
-into the mask arithmetic — mask[m, a, b] tests (a - b - col_off) against
-the horizontal arms and vmask[w, m, t] tests (m - t - row_off) against the
-vertical ones. The border-capped arms (arm_up[h] <= h etc.) guarantee every
+into the mask arithmetic — window column a sees dest column b at offset
+a - b - col_off, and window row m sees dest row t at offset m - t -
+row_off. The border-capped arms (arm_up[h] <= h etc.) guarantee every
 gated source lies inside the clamped window, so no out-of-window value is
-ever touched. (An earlier version physically rolled the window into a
-canonical layout first — two full-window VMEM copies per block plus two
-scratch buffers, all dead weight.)
+ever touched.
 
-bfloat16 volumes are the full-resolution memory mode: storage bf16,
-phase-1 multiplies bf16, all accumulation f32 — strictly tighter numerics
-than ops/cbca_mxu, which also quantizes the horizontal sums to bf16.
+bfloat16 volumes are the fast mode (and the full-resolution memory mode):
+storage bf16, phase-1 multiplies bf16, all accumulation f32 — strictly
+tighter numerics than ops/cbca_mxu, which also quantizes the horizontal
+sums to bf16.
 """
 
 from __future__ import annotations
@@ -65,24 +73,29 @@ def _round_kernel(
     armu_ref,    # (TH, TW) int32 block (up arms at the out tile)
     armd_ref,
     inv_ref,     # (TH, TW) f32 block (1 / region size)
-    out_ref,     # (TH, TW, TD) block
-    win_ref,     # scratch (TH + 2*HALO, TW + 2*HALO, TD), volume dtype
-    mid_ref,     # scratch (TH + 2*HALO, TW, TD) f32 horizontal sums
-    arml_vmem,   # scratch (TH + 2*HALO, TW) int32 (DMA'd, window rows)
+    out_hbm,     # (H_r, W_r, D_r) output, ANY/HBM (manual DMA out)
+    win_ref,     # scratch (2, TH + 2*HALO, TW + 2*HALO, TD), volume dtype
+    mask_ref,    # scratch (span_h, span_w, TW), compute dtype
+    vmask_ref,   # scratch (TW, span_h, TH) f32, pre-scaled by 1/region
+    mid_ref,     # scratch (span_h, TW, TD) f32 horizontal sums
+    outb_ref,    # scratch (out_bufs, TH, TW, TD), volume dtype
+    arml_vmem,   # scratch (span_h, TW) int32 (DMA'd, window rows)
     armr_vmem,
-    dma_sems,
+    arm_sems,    # (2,)
+    win_sems,    # (2,)
+    out_sems,    # (out_bufs,)
     *,
-    radius: int,
     tile_h: int,
     tile_w: int,
     tile_d: int,
+    n_chunks: int,
+    out_bufs: int,
     rows_total: int,
     cols_total: int,
 ):
     halo = _HALO
     i = pl.program_id(0)
     j = pl.program_id(1)
-    k = pl.program_id(2)
     span_h = tile_h + 2 * halo
     span_w = tile_w + 2 * halo
 
@@ -101,34 +114,49 @@ def _round_kernel(
     row_off = i * tile_h - row_base  # in {0, HALO, 2*HALO}
     col_off = j * tile_w - col_base
 
-    copies = [
-        pltpu.make_async_copy(
+    def win_dma(slot, k):
+        return pltpu.make_async_copy(
             vol_hbm.at[
                 pl.ds(row_base, span_h),
                 pl.ds(col_base, span_w),
                 pl.ds(pl.multiple_of(k * tile_d, 128), tile_d),
             ],
-            win_ref,
-            dma_sems.at[0],
-        ),
+            win_ref.at[slot],
+            win_sems.at[slot],
+        )
+
+    def out_dma(slot, k):
+        return pltpu.make_async_copy(
+            outb_ref.at[slot],
+            out_hbm.at[
+                pl.ds(i * tile_h, tile_h),
+                pl.ds(pl.multiple_of(j * tile_w, 128), tile_w),
+                pl.ds(pl.multiple_of(k * tile_d, 128), tile_d),
+            ],
+            out_sems.at[slot],
+        )
+
+    arm_copies = [
         # arm planes at the *destination* columns (aligned at j*TW), at
         # the window's rows (same row_base => rows align with win_ref)
         pltpu.make_async_copy(
             arml_hbm.at[pl.ds(row_base, span_h),
                         pl.ds(pl.multiple_of(j * tile_w, 128), tile_w)],
             arml_vmem,
-            dma_sems.at[1],
+            arm_sems.at[0],
         ),
         pltpu.make_async_copy(
             armr_hbm.at[pl.ds(row_base, span_h),
                         pl.ds(pl.multiple_of(j * tile_w, 128), tile_w)],
             armr_vmem,
-            dma_sems.at[2],
+            arm_sems.at[1],
         ),
     ]
-    for copy in copies:
+    for copy in arm_copies:
         copy.start()
-    for copy in copies:
+    # first window chunk streams in while the masks are generated
+    win_dma(0, 0).start()
+    for copy in arm_copies:
         copy.wait()
 
     compute_dtype = (
@@ -138,53 +166,83 @@ def _round_kernel(
         lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     )
 
-    # Phase 1 (MXU): mid[m, b, d] = sum_a mask[m, a, b] win[m, a, d].
-    # Window column a holds global column col_base + a; dest column b is
-    # global col_base + col_off + b, so the source-dest offset is
-    # a - b - col_off; it must lie within [-left_arm, right_arm].
-    delta = (
-        lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 1)
-        - lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 2)
-        - col_off
+    # Horizontal mask (built once per spatial tile, reused for every d
+    # chunk): mask[m, a, b] = 1 iff window column a lies on the horizontal
+    # arm of dest column b in window row m. Window column a holds global
+    # column col_base + a; dest column b is global col_base + col_off + b,
+    # so the source-dest offset a - b - col_off must lie within
+    # [-left_arm, right_arm] <=> a in [b + col_off - arml, b + col_off + armr].
+    b_cols = (
+        lax.broadcasted_iota(jnp.int32, (span_h, tile_w), 1) + col_off
     )
-    mask = (
-        (delta >= -arml_vmem[:, :][:, None, :])
-        & (delta <= armr_vmem[:, :][:, None, :])
+    lo = b_cols - arml_vmem[:, :]
+    hi = b_cols + armr_vmem[:, :]
+    a_idx = lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 1)
+    mask_ref[:, :, :] = (
+        (a_idx >= lo[:, None, :]) & (a_idx <= hi[:, None, :])
     ).astype(compute_dtype)
-    mid_ref[:, :, :] = lax.dot_general(
-        mask,
-        win_ref[:, :, :].astype(compute_dtype),
-        (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
 
-    # Phase 2 (MXU): out[t, w, d] = sum_m vmask[w, m, t] mid[w, m, d],
-    # batched over columns. Mid row m holds global row row_base + m; out
-    # row t is global row_base + row_off + t, so the source-dest offset
-    # is m - t - row_off; it must lie within [-up_arm, down_arm]. Always
-    # f32 (see module docstring).
-    delta2 = (
-        lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 1)
-        - lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 2)
-        - row_off
-    )
-    armu_t = armu_ref[:, :].T  # (TW, TH)
+    # Vertical mask, generated directly in (w, m, t) layout and pre-scaled
+    # by 1/region_size so phase 2's dot already divides: vmask[b, m, t] =
+    # inv[t, b] iff window row m lies on the vertical arm of dest row t.
+    # Mid row m holds global row row_base + m; out row t is global
+    # row_base + row_off + t, so m - t - row_off must lie within
+    # [-up_arm, down_arm].
+    armu_t = armu_ref[:, :].T  # (TW, TH) int32
     armd_t = armd_ref[:, :].T
-    vmask = (
-        (delta2 >= -armu_t[:, None, :]) & (delta2 <= armd_t[:, None, :])
-    ).astype(jnp.float32)
-    mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1)  # (TW, span_h, TD) f32
-    agg = lax.dot_general(
-        vmask,
-        mid_t,
-        (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )  # (TW, TH, TD)
-    out_ref[:, :, :] = (
-        jnp.swapaxes(agg, 0, 1) * inv_ref[:, :][:, :, None]
-    ).astype(out_ref.dtype)
+    inv_t = inv_ref[:, :].T    # (TW, TH) f32
+    t_rows = (
+        lax.broadcasted_iota(jnp.int32, (tile_w, tile_h), 1) + row_off
+    )
+    lo2 = t_rows - armu_t
+    hi2 = t_rows + armd_t
+    m_idx = lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 1)
+    vmask_ref[:, :, :] = (
+        (m_idx >= lo2[:, None, :]) & (m_idx <= hi2[:, None, :])
+    ).astype(jnp.float32) * inv_t[:, None, :]
+
+    def chunk_body(k, _):
+        w_slot = lax.rem(k, 2)
+        o_slot = lax.rem(k, out_bufs)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            win_dma(lax.rem(k + 1, 2), k + 1).start()
+
+        win_dma(w_slot, k).wait()
+
+        # Phase 1 (MXU): mid[m, b, d] = sum_a mask[m, a, b] win[m, a, d].
+        mid_ref[:, :, :] = lax.dot_general(
+            mask_ref[:, :, :],
+            win_ref[w_slot].astype(compute_dtype),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+        # the rotating out buffer must have drained before it is rewritten
+        @pl.when(k >= out_bufs)
+        def _():
+            out_dma(o_slot, k - out_bufs).wait()
+
+        # Phase 2 (MXU): out[t, b, d] = sum_m vmask[b, m, t] mid[m, b, d],
+        # batched over columns b. Always f32 (see module docstring); the
+        # division by region size rides in vmask.
+        mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1)  # (TW, span_h, TD)
+        agg = lax.dot_general(
+            vmask_ref[:, :, :],
+            mid_t,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )  # (TW, TH, TD)
+        outb_ref[o_slot] = jnp.swapaxes(agg, 0, 1).astype(outb_ref.dtype)
+        out_dma(o_slot, k).start()
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+    for k in range(max(0, n_chunks - out_bufs), n_chunks):
+        out_dma(k % out_bufs, k).wait()
 
 
 def cbca_fused(
@@ -195,16 +253,14 @@ def cbca_fused(
     tile_h: int | None = None,
     tile_w: int = 128,
     tile_d: int | None = None,
+    out_bufs: int = 2,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
     Falls back to the XLA stencil for shapes smaller than one haloed tile.
-    Measured per round on v5e: 45.8 ms f32 at half-res scale
-    (1000x1504x256), 172 ms bf16 at full-res scale (2000x3072x512). The
-    dense-mask einsum (ops/cbca_mxu.py, 27.8 ms/round) stays the half-res
-    champion but its O(H*W*W) masks are impossible at full-res; this
-    kernel is the full-res and sharded path.
+    ``tile_d`` is the in-kernel disparity chunk (the kernel loops over
+    D/tile_d chunks per spatial tile with double-buffered DMA).
     """
     if num_iterations == 0:
         return volume
@@ -213,13 +269,7 @@ def cbca_fused(
     if tile_h is None:
         tile_h = 16
     if tile_d is None:
-        # bf16 halves the window VMEM; spending it on a deeper d tile
-        # halves the mask-generation passes (full-res: 155 -> 148
-        # ms/round). f32 at tile_d=256 exceeds VMEM (compiler crash).
-        tile_d = (
-            256 if volume.dtype == jnp.bfloat16 and volume.shape[2] >= 256
-            else 128
-        )
+        tile_d = 128
     if tile_h % 16 or tile_w % 128 or tile_d % 128:
         raise ValueError(
             "tile_h must be a multiple of 16 and tile_w/tile_d of 128 "
@@ -242,6 +292,8 @@ def cbca_fused(
         return cbca(volume, arms, num_iterations, distance_threshold)
 
     pad_h, pad_w, pad_d = hp - height, wp - width, dp - d_pad
+    n_chunks = dp // tile_d
+    out_bufs = min(out_bufs, n_chunks)
 
     def pad2(plane):
         return jnp.pad(plane, ((0, pad_h), (0, pad_w)))
@@ -261,42 +313,56 @@ def cbca_fused(
 
     kernel = functools.partial(
         _round_kernel,
-        radius=radius,
         tile_h=tile_h,
         tile_w=tile_w,
         tile_d=tile_d,
+        n_chunks=n_chunks,
+        out_bufs=out_bufs,
         rows_total=hp,
         cols_total=wp,
     )
     span_h = tile_h + 2 * _HALO
     span_w = tile_w + 2 * _HALO
+    compute_dtype = (
+        jnp.float32 if volume.dtype == jnp.float32 else jnp.bfloat16
+    )
     scratch_shapes = [
-        pltpu.VMEM((span_h, span_w, tile_d), volume.dtype),  # window
-        pltpu.VMEM((span_h, tile_w, tile_d), jnp.float32),   # mid (f32)
+        pltpu.VMEM((2, span_h, span_w, tile_d), volume.dtype),  # windows
+        pltpu.VMEM((span_h, span_w, tile_w), compute_dtype),    # h-mask
+        pltpu.VMEM((tile_w, span_h, tile_h), jnp.float32),      # v-mask
+        pltpu.VMEM((span_h, tile_w, tile_d), jnp.float32),      # mid (f32)
+        pltpu.VMEM((out_bufs, tile_h, tile_w, tile_d), volume.dtype),
         pltpu.VMEM((span_h, tile_w), jnp.int32),
         pltpu.VMEM((span_h, tile_w), jnp.int32),
-        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((out_bufs,)),
     ]
 
     call = pl.pallas_call(
         kernel,
-        grid=(hp // tile_h, wp // tile_w, dp // tile_d),
+        grid=(hp // tile_h, wp // tile_w),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # volume, manual clamped DMA
             pl.BlockSpec(memory_space=pl.ANY),  # left arms, manual DMA
             pl.BlockSpec(memory_space=pl.ANY),  # right arms, manual DMA
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, k: (i, j),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, k: (i, j),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, k: (i, j),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_h, tile_w, tile_d),
-                               lambda i, j, k: (i, j, k),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA out
         out_shape=jax.ShapeDtypeStruct((hp, wp, dp), volume.dtype),
         scratch_shapes=scratch_shapes,
+        # the double-buffered windows + persistent masks exceed the 16 MB
+        # default *scoped* limit (v5e physical VMEM is 128 MB); measured
+        # peak is ~20-30 MB depending on tile_h
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
 

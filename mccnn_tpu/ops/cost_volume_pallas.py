@@ -10,11 +10,17 @@ opposite image in VMEM and compute
 Two implementations:
   * MXU (default): ONE row-batched (TH; TW x C @ C x TW+TD) correlation
     dot_general on the systolic array (f32 via HIGHEST precision), then
-    the band is read off the product's diagonals by skewing — the left
-    band with a single hardware strided roll, the right band with a
-    log2(TW) ladder of masked uniform lane rolls (Mosaic has no
-    gather/rev, and its strided roll only takes strides 1..16 — the
-    increasing skew would need -1). Exact to ~1e-5 of the f32 VPU path.
+    the band is read off the product's diagonals by skewing. BOTH bands
+    read their context from a lane-REVERSED copy of the opposite feature
+    array, which turns their increasing diagonals (slope +1, needing the
+    stride -1 Mosaic lacks) into decreasing ones — extracted with a
+    single hardware strided roll. The reversed right context additionally
+    reverses the disparity order within the tile; one (TD, TD)
+    anti-identity matmul on the MXU flips it back (exact — 0/1 matrix,
+    f32 HIGHEST). This replaced the former log2(TW) ladder of masked
+    uniform rolls on the right band (7 full-buffer rolls + selects per
+    tile — the kernel's real bottleneck, not the dots).
+    Exact to ~1e-5 of the f32 VPU path.
   * VPU (use_mxu=False): TD shifted multiply-reduce passes with W in the
     lane dimension. Measured 234 ms; kept as the bitwise-f32 path.
 
@@ -110,31 +116,24 @@ def _band_kernel(
         ).astype(out_r_ref.dtype)
 
 
-def _skew_rows(matrix: jax.Array, num_rows: int) -> jax.Array:
-    """M'[..., u, k] = M[..., u, (k + u) mod L] via conditional lane rolls.
+def _flip_lanes_mxu(band: jax.Array, tile_d: int) -> jax.Array:
+    """band[..., v] -> band[..., tile_d - 1 - v] via an anti-identity matmul.
 
-    Realizes the per-row variable shift (a diagonal extraction) as
-    log2(num_rows) masked uniform rolls — the trick that lets the band be
-    read out of an MXU product with vector ops only. Works on a 2D matrix
-    or a row-batched 3D stack (u is always the second-minor dim).
+    Mosaic has no lane ``rev``; a (TD, TD) 0/1 exchange-matrix dot on the
+    MXU is exact in f32 HIGHEST and costs about as much as the correlation
+    dot itself — far below the 7-masked-roll ladder it replaced.
     """
-    # This skew needs per-row LEFT rolls (+u); Mosaic's strided roll only
-    # supports small non-negative strides (1..16 measured; the -1 == L-1
-    # stride crashes the compiler), so it stays a log2(num_rows) ladder of
-    # masked uniform rolls. The decreasing skew below IS one strided roll.
-    axis = matrix.ndim - 1
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, matrix.shape[:-1] + (1,), matrix.ndim - 2
+    anti = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_d, tile_d), 0)
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_d, tile_d), 1)
+        == tile_d - 1
+    ).astype(band.dtype)
+    return jax.lax.dot_general(
+        band, anti,
+        dimension_numbers=(((band.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    lanes = matrix.shape[-1]
-    bit = 1
-    while bit < num_rows:
-        # left-roll by `bit` == right-roll by (lanes - bit); pltpu.roll
-        # requires non-negative shifts
-        rolled = pltpu.roll(matrix, lanes - bit, axis=axis)
-        matrix = jnp.where((rows & bit) != 0, rolled, matrix)
-        bit <<= 1
-    return matrix
 
 
 def _skew_rows_neg(matrix: jax.Array, num_rows: int) -> jax.Array:
@@ -182,13 +181,14 @@ def _finalize_tile(band: jax.Array, k, tile_d: int, ndisp: int | None,
 def _band_kernel_mxu(
     fl_hbm,   # (Hp, C, Wpad) left features, channel-major, zero-padded W
     fr_hbm,   # (Hp, C, Wpad)
+    fl_rev_hbm,  # (Hp, C, Wpad) left features, W axis REVERSED
     fr_rev_hbm,  # (Hp, C, Wpad) right features, W axis REVERSED
     out_l_ref,  # (TH, TW, TD)
     out_r_ref,  # (TH, TW, TD)
     fl_tile,    # scratch (TH, C, TW)
     fr_tile,    # scratch (TH, C, TW)
     fr_ctx,     # scratch (TH, C, TW + TD) — from the REVERSED array
-    fl_ctx,     # scratch (TH, C, TW + TD)
+    fl_ctx,     # scratch (TH, C, TW + TD) — from the REVERSED array
     sems,
     *,
     tile_h: int,
@@ -209,7 +209,11 @@ def _band_kernel_mxu(
     left_ctx0_rev = pl.multiple_of(
         w_total - (tile_w + tile_d) - left_ctx0, 128
     )
-    right_ctx0 = pl.multiple_of(j * tile_w + k * tile_d + d_total, 128)
+    # right ctx covers fl cols [j*TW + k*TD + d_total, ... + TW + TD)
+    right_ctx0 = j * tile_w + k * tile_d + d_total
+    right_ctx0_rev = pl.multiple_of(
+        w_total - (tile_w + tile_d) - right_ctx0, 128
+    )
 
     copies = [
         pltpu.make_async_copy(
@@ -226,7 +230,8 @@ def _band_kernel_mxu(
             fr_ctx, sems.at[2],
         ),
         pltpu.make_async_copy(
-            fl_hbm.at[pl.ds(row0, tile_h), :, pl.ds(right_ctx0, tile_w + tile_d)],
+            fl_rev_hbm.at[pl.ds(row0, tile_h), :,
+                          pl.ds(right_ctx0_rev, tile_w + tile_d)],
             fl_ctx, sems.at[3],
         ),
     ]
@@ -259,16 +264,23 @@ def _band_kernel_mxu(
         skewed_l[:, :, tile_w: tile_w + tile_d], k, tile_d, ndisp,
         out_l_ref.dtype,
     )
-    # right band: out[u, v] = corr_r[u, u + v]
-    skewed_r = _skew_rows(corr_r, tile_w)
+    # right band: out[u, v] = <fR(u), fL(u + v)> sits at corr_r col
+    # t = TW + TD - 1 - u - v (reversed ctx) — decreasing diagonals, so
+    # the same single strided roll applies; the band lands at aligned
+    # lanes [TW, TW + TD) with v REVERSED, un-reversed by the
+    # anti-identity matmul (see _flip_lanes_mxu).
+    skewed_r = _skew_rows_neg(corr_r, tile_w)
+    band_r = _flip_lanes_mxu(
+        skewed_r[:, :, tile_w: tile_w + tile_d], tile_d
+    )
     out_r_ref[:, :, :] = _finalize_tile(
-        skewed_r[:, :, :tile_d], k, tile_d, ndisp, out_r_ref.dtype,
+        band_r, k, tile_d, ndisp, out_r_ref.dtype,
     )
 
 
 def _band_kernel_mxu_one(
     anchor_hbm,  # (Hp, C, Wpad) anchor features, channel-major
-    ctx_hbm,     # (Hp, C, Wpad) context features — REVERSED array for "left"
+    ctx_hbm,     # (Hp, C, Wpad) context features, W axis REVERSED
     out_ref,  # (TH, TW, TD)
     anchor_tile,  # scratch (TH, C, TW)
     ctx_tile,     # scratch (TH, C, TW + TD)
@@ -297,7 +309,11 @@ def _band_kernel_mxu_one(
             128,
         )
     else:
-        ctx0 = pl.multiple_of(j * tile_w + k * tile_d + d_total, 128)
+        ctx0 = pl.multiple_of(
+            w_total - (tile_w + tile_d)
+            - (j * tile_w + k * tile_d + d_total),
+            128,
+        )
 
     copies = [
         pltpu.make_async_copy(
@@ -325,8 +341,11 @@ def _band_kernel_mxu_one(
         skewed = _skew_rows_neg(pltpu.roll(corr, 1, axis=2), tile_w)
         band = skewed[:, :, tile_w: tile_w + tile_d]
     else:
-        skewed = _skew_rows(corr, tile_w)
-        band = skewed[:, :, :tile_d]
+        # reversed ctx: band at lanes [TW, TW+TD) in reversed d order
+        skewed = _skew_rows_neg(corr, tile_w)
+        band = _flip_lanes_mxu(
+            skewed[:, :, tile_w: tile_w + tile_d], tile_d
+        )
     out_ref[:, :, :] = _finalize_tile(band, k, tile_d, ndisp, out_ref.dtype)
 
 
@@ -347,19 +366,22 @@ def band_pair_pallas(
 
     Out-of-range entries are 0; no border fills (cost_volume
     .cost_volume_pair applies those). ``use_mxu`` selects the
-    matmul+log-skew kernel (default; the systolic array does the dots)
-    over the shifted multiply-reduce VPU kernel. ``sides`` = "both" returns
+    matmul+strided-roll-skew kernel (default; the systolic array does the
+    dots) over the shifted multiply-reduce VPU kernel. ``sides`` = "both" returns
     the tuple; "left"/"right" computes and returns only that band (half the
     work and peak memory — the full-res schedule). ``out_dtype`` casts the
     band inside the kernel (bf16 volumes never materialize in f32).
 
     ``finalize_ndisp`` (MXU kernels only): emit pipeline cost volumes
     directly — negated scores with BIG_COST disparity-pad lanes — so the
-    wrapper returns with NO epilogue ops on the volume at all. The left
-    band reads its context from a once-flipped copy of the right feature
-    array and extracts decreasing diagonals (``_skew_rows_neg``), which
-    yields natural disparity order without the former reversed-tile-map +
-    XLA flip (a full extra volume copy at full-res).
+    wrapper returns with NO epilogue ops on the volume at all. Both bands
+    read their context from a once-flipped copy of the opposite feature
+    array and extract decreasing diagonals (``_skew_rows_neg``): the left
+    band comes out in natural disparity order directly; the right band
+    comes out d-reversed within the tile and is flipped back by the
+    ``_flip_lanes_mxu`` anti-identity matmul. No reversed tile maps, no
+    XLA-level flips (a full extra volume copy at full-res), no masked
+    roll ladders.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -395,7 +417,7 @@ def band_pair_pallas(
             ctx = prep(features_right, reverse=True)
         else:
             anchor = prep(features_right)
-            ctx = prep(features_left)
+            ctx = prep(features_left, reverse=True)
         kernel = functools.partial(
             _band_kernel_mxu_one,
             tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
@@ -425,6 +447,7 @@ def band_pair_pallas(
     fl = prep(features_left)
     fr = prep(features_right)
     if use_mxu:
+        fl_rev = prep(features_left, reverse=True)
         fr_rev = prep(features_right, reverse=True)
         kernel = functools.partial(
             _band_kernel_mxu,
@@ -439,7 +462,7 @@ def band_pair_pallas(
         out_l, out_r = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=(out_l_spec, out_r_spec),
             out_shape=(out_shape, out_shape),
             scratch_shapes=[
@@ -450,7 +473,7 @@ def band_pair_pallas(
                 pltpu.SemaphoreType.DMA((4,)),
             ],
             interpret=interpret,
-        )(fl, fr, fr_rev)
+        )(fl, fr, fl_rev, fr_rev)
         return crop(out_l), crop(out_r)
 
     kernel = functools.partial(

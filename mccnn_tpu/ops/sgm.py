@@ -31,18 +31,19 @@ XLA cannot alias in place — it recopies the whole ~1.5 GB carry every step)
 ran 911 ms/sweep; the transposed dim-0 scan, both transposes included, runs
 31.6 ms (29x).
 
-The D2 penalty test never materializes an (H, W, D) probe tensor at
-full-res scale (an earlier version gathered it up front; that one gather
-was an 11.75 GB f32 allocation and the single biggest obstacle to fitting
-the ~6 MP / ndisp-400 problem in one chip's HBM). Horizontal sweeps build
-it per scan chunk from static window slices of the other image's gradient
-— always cheap. Vertical sweeps need a banded (w - d) probe with no
-contiguous-window structure; the full bool gather IS materialized when it
-fits (under ``_B2_MATERIALIZE_LIMIT`` elements; at half-res that is 4x
-faster than any per-chunk construction), and at full-res scale the chunks
-come from D-wide sliding windows via ``conv_general_dilated_patches``
-(a per-chunk jnp.take gather measured 905 ms/sweep at full-res; the
-patches form is pure data movement).
+The D2 penalty test never materializes an (H, W, D) *float* probe tensor
+(an earlier version gathered it up front in f32; that one gather was an
+11.75 GB allocation and the single biggest obstacle to fitting the ~6 MP /
+ndisp-400 problem in one chip's HBM). Horizontal sweeps build it per scan
+chunk from static window slices of the other image's gradient — always
+cheap. Vertical sweeps need a banded (w - d) probe with no
+contiguous-window structure; the full BOOL volume IS materialized whenever
+it fits (under ``_B2_MATERIALIZE_LIMIT`` elements, 1 byte each — which
+covers full-res, a 3.1 GB bool: even there the one constant-index gather
++ in-scan slicing is 7x faster than any per-chunk construction, 99.5
+ms/sweep vs 682 conv-patches / 905 per-chunk gather). Only beyond that
+limit do the chunks come from D-wide sliding windows via
+``conv_general_dilated_patches`` (pure data movement).
 """
 
 from __future__ import annotations
@@ -163,7 +164,10 @@ def _penalty_bits(
     yields the (length, perp, D) block of (D2 < sgm_d) bits for scan lines
     [start, start+length) along the sweep axis — lines are columns for
     horizontal sweeps (perp = H) and rows for vertical ones (perp = W).
-    Nothing of size (H, W, D) is ever materialized.
+    Horizontal sweeps never materialize anything of size (H, W, D);
+    vertical sweeps materialize the full (W, H, D) BOOL volume up front
+    when it fits ``_B2_MATERIALIZE_LIMIT`` (including full-res — see the
+    module docstring) and fall back to conv-patches chunks beyond it.
     """
     rh, rw = direction
     vertical = rh != 0

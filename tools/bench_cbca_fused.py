@@ -51,17 +51,21 @@ def main():
     arms = jax.tree.map(lambda x: x.block_until_ready(), arms)
 
     n = iters
+    tile_h = int(os.environ.get("TILE_H", "16"))
+    tile_d = int(os.environ.get("TILE_D", "128"))
+    out_bufs = int(os.environ.get("OUT_BUFS", "2"))
+    kw = dict(tile_h=tile_h, tile_d=tile_d, out_bufs=out_bufs)
     variants = os.environ.get("VARIANTS", "mxu,fused,fused16,check").split(",")
     if "mxu" in variants:
         timed(jax.jit(lambda v, a: cbca_mxu(v, a, n, 14)), vol, arms,
               label=f"cbca mxu dense masks        x{n} iters")
     if "fused" in variants:
-        timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14)), vol, arms,
-              label=f"cbca fused vmem-masks f32   x{n} iters")
+        timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14, **kw)), vol, arms,
+              label=f"cbca fused f32 th{tile_h} td{tile_d} ob{out_bufs} x{n}")
     if "fused16" in variants:
         vol16 = vol.astype(jnp.bfloat16)
-        timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14)), vol16, arms,
-              label=f"cbca fused vmem-masks bf16  x{n} iters")
+        timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14, **kw)), vol16, arms,
+              label=f"cbca fused bf16 th{tile_h} td{tile_d} ob{out_bufs} x{n}")
     if "xla" in variants:
         timed(jax.jit(lambda v, a: cbca(v, a, n, 14)), vol, arms,
               label=f"cbca xla stencil            x{n} iters")

@@ -1,0 +1,128 @@
+"""Full-chain executed-reference parity at the paper's shipped defaults.
+
+tools/reference_parity.py pins each stage of tests/oracles.py to the
+EXECUTED reference per stage on a tiny crop at reduced hyperparameters.
+This tool closes the remaining gap (VERDICT round 2, item 2): it runs the
+reference's COMPOSED pipeline (the exact chaining of
+/root/reference/src/match.py:131-176 — cost volume -> CBCA(2) -> SGM ->
+CBCA(16) -> WTA -> interpolation -> subpixel -> median -> bilateral) at
+the shipped defaults (/root/reference/src/match.py:31-43: cbca_intensity
+0.02, cbca_distance 14, iterations 2 and 16, P1 2.3, P2 55.9, Q1 4, Q2 8,
+D 0.08, V 1.5, blur 6/2), on a crop large enough for distance-14 crosses,
+and diffs the FINAL disparity map against our jitted
+``match_pair(..., cbca_impl="xla", cost_volume_method="rolldot")`` exact
+mode fed the same features.
+
+Both sides consume identical feature maps (our net, random init — feature
+extraction itself is pinned to real TF in tests/test_tf_parity.py), so any
+disagreement is pipeline semantics, not the CNN. Runtime is minutes (the
+reference is per-pixel Python); result recorded in PARITY.md.
+
+    python tools/reference_chain_parity.py [--height 48 --width 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from reference_parity import load_reference  # noqa: E402
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--height", type=int, default=48)
+    parser.add_argument("--width", type=int, default=64)
+    parser.add_argument("--ndisp", type=int, default=12)
+    parser.add_argument("--seed", type=int, default=7)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mccnn_tpu.models.net import extract_features, init_params
+    from mccnn_tpu.pipeline.match import match_pair
+    from mccnn_tpu.utils.config import MatchConfig
+    from mccnn_tpu.utils.scenes import scene_pair
+
+    ref = load_reference()
+    rng = np.random.default_rng(args.seed)
+    left, right, _, _, _ = scene_pair(
+        "occlusion", rng, args.height, args.width,
+        max_disparity=args.ndisp - 3,
+    )
+    ndisp = args.ndisp
+
+    params = init_params(jax.random.key(0))
+    feat = jax.jit(extract_features)
+    feat_l = np.asarray(feat(params, jnp.asarray(left)))
+    feat_r = np.asarray(feat(params, jnp.asarray(right)))
+
+    # paper defaults, exactly /root/reference/src/match.py:31-43
+    tau, dist = 0.02, 14
+    iters1, iters2 = 2, 16
+    p1, p2, q1, q2, d, v = 2.3, 55.9, 4.0, 8.0, 0.08, 1.5
+    blur_sigma, blur_threshold = 6.0, 2.0
+
+    t0 = time.time()
+    print("reference: cost volume ...", flush=True)
+    lcv, rcv = ref["compute_cost_volume"](feat_l, feat_r, ndisp)
+    print(f"reference: CBCA x{iters1} ...", flush=True)
+    lcv, rcv = ref["cost_volume_aggregation"](
+        left, right, lcv, rcv, tau, dist, iters1
+    )
+    print("reference: SGM (4 chained in-place sweeps x2 volumes) ...",
+          flush=True)
+    lcv, rcv = ref["SGM_average"](lcv, rcv, left, right, p1, p2, q1, q2, d, v)
+    print(f"reference: CBCA x{iters2} ...", flush=True)
+    lcv, rcv = ref["cost_volume_aggregation"](
+        left, right, lcv, rcv, tau, dist, iters2
+    )
+    print("reference: WTA / interpolation / subpixel / filters ...",
+          flush=True)
+    dl, dr = ref["disparity_prediction"](lcv, rcv)
+    disp = ref["interpolation"](dl, dr, ndisp)
+    disp = ref["subpixel_enhance"](disp, lcv)
+    disp = ref["median_filter"](disp, 5, 5)
+    ref_disp = ref["bilateral_filter"](
+        left[:, :, None], disp, 5, 5, 0.0, blur_sigma, blur_threshold
+    )
+    print(f"reference pipeline done in {time.time() - t0:.1f}s", flush=True)
+
+    config = MatchConfig()  # paper defaults (tests/test_paper_defaults.py)
+    ours = np.asarray(
+        jax.jit(
+            lambda p, li, ri: match_pair(
+                p, li, ri, ndisp, config,
+                cost_volume_method="rolldot", cbca_impl="xla",
+            )
+        )(params, jnp.asarray(left), jnp.asarray(right))
+    )
+
+    diff = np.abs(ours - np.asarray(ref_disp))
+    max_diff = float(diff.max())
+    mean_diff = float(diff.mean())
+    mismatched = int((diff > 1e-3).sum())
+    print(
+        f"final disparity vs executed reference ({args.height}x{args.width}"
+        f"/ndisp-{ndisp}, paper defaults): max abs diff {max_diff:.3e}, "
+        f"mean {mean_diff:.3e}, pixels >1e-3: {mismatched}/{diff.size}",
+        flush=True,
+    )
+    ok = max_diff <= 1e-3
+    print("CHAIN PARITY OK" if ok else "CHAIN PARITY MISMATCH", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
