@@ -201,14 +201,16 @@ def _round_kernel(
         (m_idx >= lo2[:, None, :]) & (m_idx <= hi2[:, None, :])
     ).astype(jnp.float32) * inv_t[:, None, :]
 
-    def chunk_body(k, _):
-        w_slot = lax.rem(k, 2)
-        o_slot = lax.rem(k, out_bufs)
-
-        @pl.when(k + 1 < n_chunks)
-        def _():
-            win_dma(lax.rem(k + 1, 2), k + 1).start()
-
+    # The d-chunk loop is unrolled in Python (n_chunks is small and
+    # static): a lax.fori_loop whose body starts/waits DMAs through
+    # traced `.at[slot]` buffer indices hangs the Mosaic compiler
+    # (measured: >12 min on both f32 and bf16 at half-res; the unrolled
+    # form with static slots compiles normally).
+    for k in range(n_chunks):
+        w_slot = k % 2
+        o_slot = k % out_bufs
+        if k + 1 < n_chunks:
+            win_dma((k + 1) % 2, k + 1).start()
         win_dma(w_slot, k).wait()
 
         # Phase 1 (MXU): mid[m, b, d] = sum_a mask[m, a, b] win[m, a, d].
@@ -221,8 +223,7 @@ def _round_kernel(
         )
 
         # the rotating out buffer must have drained before it is rewritten
-        @pl.when(k >= out_bufs)
-        def _():
+        if k >= out_bufs:
             out_dma(o_slot, k - out_bufs).wait()
 
         # Phase 2 (MXU): out[t, b, d] = sum_m vmask[b, m, t] mid[m, b, d],
@@ -238,9 +239,7 @@ def _round_kernel(
         )  # (TW, TH, TD)
         outb_ref[o_slot] = jnp.swapaxes(agg, 0, 1).astype(outb_ref.dtype)
         out_dma(o_slot, k).start()
-        return 0
 
-    lax.fori_loop(0, n_chunks, chunk_body, 0)
     for k in range(max(0, n_chunks - out_bufs), n_chunks):
         out_dma(k % out_bufs, k).wait()
 

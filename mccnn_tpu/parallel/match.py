@@ -31,6 +31,7 @@ def make_sharded_match(
     cost_volume_method: str = "pallas",
     cbca_impl: str = "fused",
     volume_dtype: str = "float32",
+    return_volumes: bool = False,
 ):
     """Jitted (params, left, right) -> disparity with row-sharded volumes."""
     volume_sharding = NamedSharding(mesh, P(axis, None, None))
@@ -70,6 +71,7 @@ def make_sharded_match(
             volume_dtype=volume_dtype,
             cost_volume_fn=cost_volume_fn,
             cbca_fn=cbca_fn,
+            return_volumes=return_volumes,
         )
 
     return sharded_match

@@ -45,6 +45,7 @@ def match_pair(
     cost_volume_fn=None,
     cbca_fn=None,
     recompute_features: bool | str = "auto",
+    return_volumes: bool = False,
 ) -> jax.Array:
     """(H, W) standardized image pair -> (H, W) float32 disparity map.
 
@@ -69,6 +70,11 @@ def match_pair(
     substitute shard_map-wrapped Pallas kernels (manual-DMA kernels are
     single-device programs; GSPMD cannot partition them, but shard_map
     runs them per shard with explicit halo exchange).
+
+    ``return_volumes=True`` returns a dict with the final disparity plus
+    the fully-processed pre-WTA volumes and per-side WTA maps — the
+    deterministic intermediates that sharded-vs-unsharded equality tests
+    compare exactly (argmin tie excuses do not apply upstream of WTA).
     """
     on_tpu = jax.default_backend() == "tpu"
     if cost_volume_method == "auto":
@@ -216,6 +222,14 @@ def match_pair(
         config.blur_sigma,
         config.blur_threshold,
     )
+    if return_volumes:
+        return {
+            "disparity": disparity,
+            "left_volume": left_volume,
+            "right_volume": right_volume,
+            "left_disparity": left_disparity,
+            "right_disparity": right_disparity,
+        }
     return disparity
 
 
