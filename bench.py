@@ -115,9 +115,115 @@ def _parity_check() -> None:
         raise SystemExit("on-TPU parity failure: cbca_fused")
 
 
+def _stage_profile(params, left, right, ndisp: int, config,
+                   match_kwargs: dict) -> dict:
+    """Stage-isolated breakdown (ms) + achieved rates for the MXU stages.
+
+    Each stage is timed as its own jitted program (the fused pipeline can
+    be faster than the sum — XLA fuses producers into the SGM scans — so
+    these are attribution numbers, not an exact decomposition).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mccnn_tpu.models.net import extract_features
+    from mccnn_tpu.ops.cbca import cbca, compute_arms
+    from mccnn_tpu.ops.cost_volume import cost_volume_pair
+    from mccnn_tpu.ops.filters import bilateral_filter, median_filter
+    from mccnn_tpu.ops.lr_check import lr_consistency_interpolate
+    from mccnn_tpu.ops.sgm import _directional_sweep
+    from mccnn_tpu.ops.subpixel import subpixel_enhance
+    from mccnn_tpu.ops.wta import wta_disparity
+
+    height, width = left.shape
+    on_tpu = jax.default_backend() != "cpu"
+
+    def timed(fn, *args, iters=2):
+        sync = jax.jit(
+            lambda t: jnp.sum(jax.tree.leaves(t)[0].astype(jnp.float32))
+        )
+        out = fn(*args)
+        np.asarray(sync(out))
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(sync(out))
+        return out, (time.time() - t0) / iters
+
+    stages = {}
+
+    feats_fn = jax.jit(lambda p, a, b: (extract_features(p, a),
+                                        extract_features(p, b)))
+    (fl, fr), dt = timed(feats_fn, params, left, right)
+    stages["features"] = dt
+    # 5-layer VALID 3x3 stack, 1->64 then 64->64 x4, both images
+    conv_flops = 2 * height * width * 2 * 9 * 64 * (1 + 4 * 64)
+    feat_tflops = conv_flops / dt / 1e12
+
+    method = match_kwargs.get("cost_volume_method", "auto")
+    if method == "auto":
+        method = "pallas" if on_tpu else "matmul"
+    cv_fn = jax.jit(lambda a, b: cost_volume_pair(a, b, ndisp, method=method))
+    (lcv, rcv), dt = timed(cv_fn, fl, fr)
+    stages["cost_volume"] = dt
+    cv_tflops = 2 * height * width * ndisp * 64 * 2 / dt / 1e12  # useful only
+
+    vol_dtype = match_kwargs.get("volume_dtype", "float32")
+    lcv = lcv.astype(vol_dtype)
+    impl = match_kwargs.get("cbca_impl", "auto")
+    if impl == "auto":
+        impl = "mxu" if on_tpu else "xla"
+    if impl == "mxu":
+        from mccnn_tpu.ops.cbca_mxu import cbca_mxu as agg
+    elif impl == "fused":
+        from mccnn_tpu.ops.cbca_fused import cbca_fused as agg
+    else:
+        agg = cbca
+    arms = jax.jit(lambda i: compute_arms(i, config.cbca_intensity,
+                                          int(config.cbca_distance)))(left)
+    rounds = 2 * (config.cbca_num_iterations_1 + config.cbca_num_iterations_2)
+    _, dt = timed(jax.jit(
+        lambda v, a: agg(v, a, 1, int(config.cbca_distance))), lcv, arms)
+    stages["cbca"] = dt * rounds
+    d_pad = -(-ndisp // 128) * 128
+    # the bandwidth-bound stage: volume read+write per round
+    cbca_gbps = (2 * height * width * d_pad * lcv.dtype.itemsize) / dt / 1e9
+
+    sgm_t = 0.0
+    for axis in ((0, 1), (1, 0)):
+        sweep = jax.jit(lambda v, a, b, ax=axis: _directional_sweep(
+            v, a, b, "L", ax, ndisp, config))
+        _, dt = timed(sweep, lcv.astype(jnp.float32), left, right)
+        sgm_t += 4 * dt  # 2 directions x 2 volumes per axis
+    stages["sgm"] = sgm_t
+
+    def post(lv, rv, img):
+        dl, dr = wta_disparity(lv), wta_disparity(rv)
+        disp = lr_consistency_interpolate(dl, dr, ndisp)
+        disp = subpixel_enhance(disp, lv, ndisp)
+        disp = median_filter(disp, 5, 5)
+        return bilateral_filter(img, disp, 5, 5, 0.0, config.blur_sigma,
+                                config.blur_threshold)
+
+    lcv32 = lcv.astype(jnp.float32)
+    _, dt = timed(jax.jit(post), lcv32, lcv32, left)
+    stages["post"] = dt
+
+    result = {k: round(v * 1e3, 1) for k, v in stages.items()}
+    result["cbca_ms_per_round"] = round(stages["cbca"] / rounds * 1e3, 1)
+    return {
+        "stages_ms": result,
+        "mxu_tflops": {"features": round(feat_tflops, 2),
+                       "cost_volume": round(cv_tflops, 2)},
+        "cbca_volume_gbps": round(cbca_gbps, 1),
+        "cbca_impl": impl,
+    }
+
+
 def main(height: int = 1000, width: int = 1504, ndisp: int = 200,
          label: str = "halfres_full_pipeline_megapixels_per_s",
-         match_kwargs: dict | None = None, parity: bool = True) -> None:
+         match_kwargs: dict | None = None, parity: bool = True,
+         stages: bool = True) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -179,17 +285,27 @@ def main(height: int = 1000, width: int = 1504, ndisp: int = 200,
     if parity:
         _parity_check()
 
-    print(json.dumps({
+    record = {
         "metric": label,
         "value": round(mpix_per_s, 4),
         "unit": "MP/s",
         "vs_baseline": round(mpix_per_s / TARGET_MPS, 4),
-    }))
+        "seconds_per_pair": round(best, 3),
+    }
+    if stages and "--no-stages" not in sys.argv:
+        try:
+            record.update(_stage_profile(params, left, right, ndisp, config,
+                                         match_kwargs))
+        except Exception as exc:  # noqa: BLE001 — stage attribution must
+            # never sink the headline metric (extra compiles, OOM at odd
+            # shapes, transient remote-compile flakes)
+            print(f"stage profile failed: {str(exc)[:200]}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 def bench_quarter() -> None:
     main(500, 736, 100, "quarterres_full_pipeline_megapixels_per_s",
-         parity=False)
+         parity=False, stages=False)
 
 
 def bench_full() -> None:

@@ -92,6 +92,7 @@ def _round_kernel(
     out_bufs: int,
     rows_total: int,
     cols_total: int,
+    compute_dtype,
 ):
     halo = _HALO
     i = pl.program_id(0)
@@ -159,9 +160,6 @@ def _round_kernel(
     for copy in arm_copies:
         copy.wait()
 
-    compute_dtype = (
-        jnp.float32 if win_ref.dtype == jnp.float32 else jnp.bfloat16
-    )
     precision = (
         lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
     )
@@ -254,12 +252,22 @@ def cbca_fused(
     tile_d: int | None = None,
     out_bufs: int = 2,
     interpret: bool | None = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
     Falls back to the XLA stencil for shapes smaller than one haloed tile.
     ``tile_d`` is the in-kernel disparity chunk (the kernel loops over
     D/tile_d chunks per spatial tile with double-buffered DMA).
+
+    ``compute_dtype`` sets the phase-1 multiply precision independently of
+    the storage dtype. Default: matches storage (f32 volume -> exact f32
+    aggregation; bf16 volume -> bf16 multiplies, f32 accumulation).
+    ``compute_dtype=jnp.bfloat16`` with an f32 volume is the fast mixed
+    mode (cbca_impl="fused16"): full-precision storage between stages,
+    MXU-rate bf16 multiplies inside the round — the same numerics class as
+    ops/cbca_mxu (one bf16 quantization of the operand per round), but
+    quantizing only phase 1's multiplicands, not the horizontal sums.
     """
     if num_iterations == 0:
         return volume
@@ -310,6 +318,11 @@ def cbca_fused(
     )
     inv_region = 1.0 / region_size
 
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.float32 if volume.dtype == jnp.float32 else jnp.bfloat16
+        )
+    compute_dtype = jnp.dtype(compute_dtype)
     kernel = functools.partial(
         _round_kernel,
         tile_h=tile_h,
@@ -319,12 +332,10 @@ def cbca_fused(
         out_bufs=out_bufs,
         rows_total=hp,
         cols_total=wp,
+        compute_dtype=compute_dtype,
     )
     span_h = tile_h + 2 * _HALO
     span_w = tile_w + 2 * _HALO
-    compute_dtype = (
-        jnp.float32 if volume.dtype == jnp.float32 else jnp.bfloat16
-    )
     scratch_shapes = [
         pltpu.VMEM((2, span_h, span_w, tile_d), volume.dtype),  # windows
         pltpu.VMEM((span_h, span_w, tile_w), compute_dtype),    # h-mask

@@ -97,6 +97,15 @@ def match_pair(
         from mccnn_tpu.ops.cbca_mxu import cbca_mxu as aggregate
     elif cbca_impl == "fused":
         from mccnn_tpu.ops.cbca_fused import cbca_fused as aggregate
+    elif cbca_impl == "fused16":
+        # f32 storage between stages, bf16 phase-1 multiplies in-kernel
+        # (the mxu numerics class, without the dense HBM mask stacks)
+        import functools as _functools
+
+        from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+        aggregate = _functools.partial(cbca_fused,
+                                       compute_dtype=jnp.bfloat16)
     else:
         aggregate = cbca
 

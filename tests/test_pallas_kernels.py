@@ -136,6 +136,30 @@ def test_cbca_fused_bf16_matches_f32_within_tolerance(rng):
     assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
 
 
+def test_cbca_fused_mixed_precision_matches_f32_within_tolerance(rng):
+    """cbca_impl="fused16": f32 storage, bf16 phase-1 multiplies."""
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+    height, width, ndisp = 52, 150, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 14)
+
+    exact = np.asarray(cbca(jnp.asarray(volume), arms, 2, 14))
+    fast = np.asarray(
+        cbca_fused(jnp.asarray(volume), arms, 2, 14, interpret=True,
+                   compute_dtype=jnp.bfloat16)
+    )
+    assert fast.dtype == np.float32  # storage dtype is preserved
+    # one bf16 quantization of the multiplicands per round
+    np.testing.assert_allclose(
+        fast[:, :, :ndisp], exact[:, :, :ndisp], rtol=0.05, atol=0.05
+    )
+    assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
+
+
 def test_cbca_fused_tiny_shape_falls_back_to_xla(rng):
     from mccnn_tpu.ops.cbca_fused import cbca_fused
 

@@ -72,6 +72,42 @@ def test_mxu_cbca_mode_parity(rng):
     assert (np.abs(fast - exact) < 0.1).mean() > 0.97
 
 
+def test_fullres_schedule_bad2_budget():
+    """The full-res memory schedule (bf16 volumes + d-chunked fused CBCA +
+    sequential pallas right-then-left build) gets the same bad-2.0 budget
+    as the MXU mode (VERDICT r2 item 6): <=0.5 pt vs the exact-f32 pipeline
+    on a structured >=128x192 scene at the paper's full hyperparameters
+    (cbca_distance 14, iterations 2+16 — reference: src/match.py:33-35).
+
+    The oracle-chain link for these semantics is pinned at smaller shapes
+    (test_bad2_parity_with_oracle, test_reference_chain) — the oracle's
+    per-pixel Python CBCA is intractable at this size.
+    """
+    from mccnn_tpu.utils.scenes import scene_pair
+
+    params = init_params(jax.random.key(3))
+    left, right, gt, occluded, ndisp = scene_pair(
+        "occlusion", np.random.default_rng(7), height=128, width=192,
+        max_disparity=12,
+    )
+    config = MatchConfig()  # paper defaults
+    gt = gt.copy()
+    gt[occluded] = np.inf  # score only pixels with a visible correspondence
+
+    exact = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), ndisp, config,
+        cost_volume_method="pallas", cbca_impl="xla",
+    ))
+    fast = np.asarray(match_pair(
+        params, jnp.asarray(left), jnp.asarray(right), ndisp, config,
+        cost_volume_method="pallas", cbca_impl="fused",
+        volume_dtype="bfloat16", cbca_chunk_d=64,
+    ))
+
+    assert abs(bad_n(fast, gt, 2.0) - bad_n(exact, gt, 2.0)) <= 0.005
+    assert (np.abs(fast - exact) <= 1.0).mean() > 0.99
+
+
 def test_evaluate_pair_metrics():
     gt = np.array([[1.0, np.inf], [3.0, 5.0]], dtype=np.float32)
     disp = np.array([[1.2, 9.0], [3.0, 0.0]], dtype=np.float32)

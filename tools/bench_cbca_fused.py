@@ -40,7 +40,9 @@ def main():
     from mccnn_tpu.ops.cbca_fused import cbca_fused
     from mccnn_tpu.ops.cbca_mxu import cbca_mxu
 
-    height, width, d_pad = 1000, 1504, 256
+    height = int(os.environ.get("H", "1000"))
+    width = int(os.environ.get("W", "1504"))
+    d_pad = int(os.environ.get("D", "256"))
     iters = int(os.environ.get("CBCA_ITERS", "4"))
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.normal(size=(height, width)).astype(np.float32))
@@ -66,24 +68,37 @@ def main():
         vol16 = vol.astype(jnp.bfloat16)
         timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14, **kw)), vol16, arms,
               label=f"cbca fused bf16 th{tile_h} td{tile_d} ob{out_bufs} x{n}")
+    if "mixed" in variants:
+        # f32 storage, bf16 phase-1 multiplies (cbca_impl="fused16")
+        timed(jax.jit(lambda v, a: cbca_fused(
+            v, a, n, 14, compute_dtype=jnp.bfloat16, **kw)), vol, arms,
+              label=f"cbca fused mixed th{tile_h} td{tile_d} ob{out_bufs} x{n}")
     if "xla" in variants:
         timed(jax.jit(lambda v, a: cbca(v, a, n, 14)), vol, arms,
               label=f"cbca xla stencil            x{n} iters")
 
-    if "check" in variants:
+    if {"check", "check16", "checkmixed"} & set(variants):
         # on-device numeric cross-check (Mosaic vs XLA, 1 round)
-        vol16 = vol.astype(jnp.bfloat16)
         ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 1, 14))(vol, arms))
+    if "check" in variants:
         got = np.asarray(
-            jax.jit(lambda v, a: cbca_fused(v, a, 1, 14))(vol, arms)
+            jax.jit(lambda v, a: cbca_fused(v, a, 1, 14, **kw))(vol, arms)
         )
         err = np.max(np.abs(got - ref) / (np.abs(ref) + 1e-3))
         print(f"fused-vs-xla max rel err (1 round, f32): {err:.2e}", flush=True)
+    if "check16" in variants:
+        vol16 = vol.astype(jnp.bfloat16)
         got16 = np.asarray(
-            jax.jit(lambda v, a: cbca_fused(v, a, 1, 14))(vol16, arms)
+            jax.jit(lambda v, a: cbca_fused(v, a, 1, 14, **kw))(vol16, arms)
         ).astype(np.float32)
         err16 = np.max(np.abs(got16 - ref) / (np.abs(ref) + 1e-3))
         print(f"fused-vs-xla max rel err (1 round, bf16): {err16:.2e}",
+              flush=True)
+    if "checkmixed" in variants:
+        gotm = np.asarray(jax.jit(lambda v, a: cbca_fused(
+            v, a, 1, 14, compute_dtype=jnp.bfloat16, **kw))(vol, arms))
+        errm = np.max(np.abs(gotm - ref) / (np.abs(ref) + 1e-3))
+        print(f"fused-vs-xla max rel err (1 round, mixed): {errm:.2e}",
               flush=True)
 
 
