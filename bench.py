@@ -138,7 +138,9 @@ def _stage_profile(params, left, right, ndisp: int, config,
     height, width = left.shape
     on_tpu = jax.default_backend() != "cpu"
 
-    def timed(fn, *args, iters=2):
+    def timed(fn, *args, iters=5):
+        # enough chained dispatches to amortize the ~31 ms tunnel
+        # round-trip of the final sync fetch (CLAUDE.md)
         sync = jax.jit(
             lambda t: jnp.sum(jax.tree.leaves(t)[0].astype(jnp.float32))
         )
@@ -171,12 +173,21 @@ def _stage_profile(params, left, right, ndisp: int, config,
     vol_dtype = match_kwargs.get("volume_dtype", "float32")
     lcv = lcv.astype(vol_dtype)
     impl = match_kwargs.get("cbca_impl", "auto")
-    if impl == "auto":
-        impl = "mxu" if on_tpu else "xla"
+    if impl == "auto":  # mirror pipeline.match_pair's auto resolution
+        if not on_tpu:
+            impl = "xla"
+        else:
+            impl = "fused" if vol_dtype == "bfloat16" else "fused16"
     if impl == "mxu":
         from mccnn_tpu.ops.cbca_mxu import cbca_mxu as agg
     elif impl == "fused":
         from mccnn_tpu.ops.cbca_fused import cbca_fused as agg
+    elif impl == "fused16":
+        import functools
+
+        from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+        agg = functools.partial(cbca_fused, compute_dtype=jnp.bfloat16)
     else:
         agg = cbca
     arms = jax.jit(lambda i: compute_arms(i, config.cbca_intensity,
@@ -223,7 +234,7 @@ def _stage_profile(params, left, right, ndisp: int, config,
 def main(height: int = 1000, width: int = 1504, ndisp: int = 200,
          label: str = "halfres_full_pipeline_megapixels_per_s",
          match_kwargs: dict | None = None, parity: bool = True,
-         stages: bool = True) -> None:
+         stages: bool = True, schedule: str | None = "bf16_fused") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -232,7 +243,11 @@ def main(height: int = 1000, width: int = 1504, ndisp: int = 200,
     from mccnn_tpu.utils.config import MatchConfig
 
     config = MatchConfig()  # paper defaults: CBCA 2+16 iters, 4-dir SGM
-    match_kwargs = match_kwargs or {}
+    if match_kwargs is None:
+        # The default TPU serving configuration: bf16 volume storage with
+        # the fused CBCA kernel (parity pinned to the exact pipeline by
+        # tests/test_parity_metrics.py; exact f32 via --config halfexact).
+        match_kwargs = {"volume_dtype": "bfloat16"}
     params = init_params(jax.random.key(0))
     rng = np.random.default_rng(0)
     base = rng.normal(size=(height, width)).astype(np.float32)
@@ -292,6 +307,8 @@ def main(height: int = 1000, width: int = 1504, ndisp: int = 200,
         "vs_baseline": round(mpix_per_s / TARGET_MPS, 4),
         "seconds_per_pair": round(best, 3),
     }
+    if schedule is not None:
+        record["schedule"] = schedule
     if stages and "--no-stages" not in sys.argv:
         try:
             record.update(_stage_profile(params, left, right, ndisp, config,
@@ -308,6 +325,14 @@ def bench_quarter() -> None:
          parity=False, stages=False)
 
 
+def bench_half_exact() -> None:
+    """Half-res with exact-f32 volumes and the exact fused CBCA kernel —
+    the strict-parity configuration (oracle-bit-matching aggregation)."""
+    main(label="halfres_exact_f32_pipeline_megapixels_per_s",
+         match_kwargs={"cbca_impl": "fused"}, parity=False,
+         schedule="exact_f32")
+
+
 def bench_full() -> None:
     """Full-res scale: the bf16 / d-chunked / sequential-volume schedule.
 
@@ -320,16 +345,28 @@ def bench_full() -> None:
         match_kwargs={
             "cbca_impl": "fused",
             "volume_dtype": "bfloat16",
-            "cbca_chunk_d": 128,
+            # 256-chunks give the kernel's in-kernel d-loop n_chunks=2 per
+            # call, so window DMAs double-buffer against compute (128-chunks
+            # leave n_chunks=1: every window fetch serialized with its
+            # tile's matmuls) while bounding the call's live volume to
+            # half; fully unchunked (D=512 per call) fails to fit full-res
+            # HBM at compile (measured)
+            "cbca_chunk_d": 256,
         },
         parity=False,
+        schedule="bf16_fused_sequential",
+        # stage-isolated full-res jits OOM HBM without the pipeline's
+        # buffer donation (CLAUDE.md) — the half-res stage dict is the
+        # per-stage evidence
+        stages=False,
     )
 
 
 if __name__ == "__main__":
     if "--config" in sys.argv:
         which = sys.argv[sys.argv.index("--config") + 1]
-        {"half": main, "quarter": bench_quarter, "train": bench_train,
+        {"half": main, "halfexact": bench_half_exact,
+         "quarter": bench_quarter, "train": bench_train,
          "full": bench_full}[which]()
     else:
         main()

@@ -93,6 +93,7 @@ def _round_kernel(
     rows_total: int,
     cols_total: int,
     compute_dtype,
+    bsplit: int | None,
 ):
     halo = _HALO
     i = pl.program_id(0)
@@ -104,27 +105,46 @@ def _round_kernel(
     # 16-aligned (tile sizes and HALO are multiples of 16), which Mosaic
     # needs to prove for the W (second-minor) volume DMA offset and the
     # row (sublane) offset of the 2D arm-plane slices.
-    row_base = pl.multiple_of(
-        jnp.minimum(jnp.maximum(i * tile_h - halo, 0), rows_total - span_h),
-        16,
-    )
-    col_base = pl.multiple_of(
-        jnp.minimum(jnp.maximum(j * tile_w - halo, 0), cols_total - span_w),
-        16,
-    )
+    def bases(ti, tj):
+        rb = pl.multiple_of(
+            jnp.minimum(jnp.maximum(ti * tile_h - halo, 0),
+                        rows_total - span_h),
+            16,
+        )
+        cb = pl.multiple_of(
+            jnp.minimum(jnp.maximum(tj * tile_w - halo, 0),
+                        cols_total - span_w),
+            16,
+        )
+        return rb, cb
+
+    row_base, col_base = bases(i, j)
     row_off = i * tile_h - row_base  # in {0, HALO, 2*HALO}
     col_off = j * tile_w - col_base
 
-    def win_dma(slot, k):
+    def win_dma_at(slot, k, rb, cb):
         return pltpu.make_async_copy(
             vol_hbm.at[
-                pl.ds(row_base, span_h),
-                pl.ds(col_base, span_w),
+                pl.ds(rb, span_h),
+                pl.ds(cb, span_w),
                 pl.ds(pl.multiple_of(k * tile_d, 128), tile_d),
             ],
             win_ref.at[slot],
             win_sems.at[slot],
         )
+
+    def win_dma(slot, k):
+        return win_dma_at(slot, k, row_base, col_base)
+
+    # Cross-tile prefetch: the predecessor tile starts THIS tile's chunk-0
+    # window DMA (descriptors match: same slot-0 buffer, same semaphore,
+    # bases computed from the successor's grid point), so the fetch
+    # overlaps the predecessor's remaining matmuls instead of serializing
+    # with this tile's (the exposed chunk-0 DMA was ~1/3 of the tile time
+    # at n_chunks=1). Only valid while slot 0 is not recycled within a
+    # tile, i.e. n_chunks <= 2; the grid must run row-major, so the
+    # pallas_call declares "arbitrary" dimension semantics.
+    prefetch = n_chunks <= 2
 
     def out_dma(slot, k):
         return pltpu.make_async_copy(
@@ -155,8 +175,15 @@ def _round_kernel(
     ]
     for copy in arm_copies:
         copy.start()
-    # first window chunk streams in while the masks are generated
-    win_dma(0, 0).start()
+    if prefetch:
+        # chunk 0 was started by the predecessor tile; only the very first
+        # grid point must start its own
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            win_dma(0, 0).start()
+    else:
+        # first window chunk streams in while the masks are generated
+        win_dma(0, 0).start()
     for copy in arm_copies:
         copy.wait()
 
@@ -175,10 +202,42 @@ def _round_kernel(
     )
     lo = b_cols - arml_vmem[:, :]
     hi = b_cols + armr_vmem[:, :]
-    a_idx = lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 1)
-    mask_ref[:, :, :] = (
-        (a_idx >= lo[:, None, :]) & (a_idx <= hi[:, None, :])
-    ).astype(compute_dtype)
+    if bsplit is None:
+        a_idx = lax.broadcasted_iota(jnp.int32, (span_h, span_w, tile_w), 1)
+        mask_ref[:, :, :] = (
+            (a_idx >= lo[:, None, :]) & (a_idx <= hi[:, None, :])
+        ).astype(compute_dtype)
+        a_bases = None
+    else:
+        # Dest-column split: the arm band is <= 2*HALO-5 wide, so dest
+        # columns [b0, b0+bsplit) only ever gate window columns
+        # [b0+col_off-HALO, b0+col_off+bsplit+HALO) — a K = bsplit+2*HALO
+        # contraction instead of span_w. At bsplit=32 that is 40% of the
+        # dense MACs; phase 1 is MXU-throughput-bound at full-res, so the
+        # saved flops are saved wall-clock. Each split's mask is built in
+        # the split's own window-offset frame (k = a - a_base); the
+        # matching window slice is a dynamic SUBLANE slice (allowed by
+        # Mosaic, unlike lane slices) whose 16-alignment follows from
+        # b0/col_off/HALO all being multiples of 16.
+        ksize = bsplit + 2 * halo
+        a_bases = []
+        for s in range(tile_w // bsplit):
+            b0 = s * bsplit
+            a_base = pl.multiple_of(
+                jnp.clip(b0 + col_off - halo, 0, span_w - ksize), 16
+            )
+            a_bases.append(a_base)
+            k_idx = (
+                lax.broadcasted_iota(jnp.int32, (span_h, ksize, bsplit), 1)
+                + a_base
+            )
+            # static slices via lax.slice (a jnp value[...] mixed slice
+            # lowers through gather, which Mosaic rejects)
+            lo_s = lax.slice_in_dim(lo, b0, b0 + bsplit, axis=1)
+            hi_s = lax.slice_in_dim(hi, b0, b0 + bsplit, axis=1)
+            mask_ref[s] = (
+                (k_idx >= lo_s[:, None, :]) & (k_idx <= hi_s[:, None, :])
+            ).astype(compute_dtype)
 
     # Vertical mask, generated directly in (w, m, t) layout and pre-scaled
     # by 1/region_size so phase 2's dot already divides: vmask[b, m, t] =
@@ -212,13 +271,42 @@ def _round_kernel(
         win_dma(w_slot, k).wait()
 
         # Phase 1 (MXU): mid[m, b, d] = sum_a mask[m, a, b] win[m, a, d].
-        mid_ref[:, :, :] = lax.dot_general(
-            mask_ref[:, :, :],
-            win_ref[w_slot].astype(compute_dtype),
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        if bsplit is None:
+            mid_ref[:, :, :] = lax.dot_general(
+                mask_ref[:, :, :],
+                win_ref[w_slot].astype(compute_dtype),
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+        else:
+            ksize = bsplit + 2 * halo
+            for s in range(tile_w // bsplit):
+                win_s = win_ref[
+                    w_slot, :, pl.ds(a_bases[s], ksize), :
+                ].astype(compute_dtype)
+                mid_ref[:, s * bsplit:(s + 1) * bsplit, :] = lax.dot_general(
+                    mask_ref[s],
+                    win_s,
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+
+        if k == 0 and prefetch:
+            # slot 0 is consumed (phase 1 above read it); hand it to the
+            # successor tile's chunk-0 window so that DMA rides under the
+            # rest of this tile's matmuls
+            grid_h = pl.num_programs(0)
+            grid_w = pl.num_programs(1)
+            wraps = j + 1 >= grid_w
+            nj = jnp.where(wraps, 0, j + 1)
+            ni = jnp.minimum(jnp.where(wraps, i + 1, i), grid_h - 1)
+            nrb, ncb = bases(ni, nj)
+
+            @pl.when(jnp.logical_not((i == grid_h - 1) & (j == grid_w - 1)))
+            def _():
+                win_dma_at(0, 0, nrb, ncb).start()
 
         # the rotating out buffer must have drained before it is rewritten
         if k >= out_bufs:
@@ -253,12 +341,18 @@ def cbca_fused(
     out_bufs: int = 2,
     interpret: bool | None = None,
     compute_dtype=None,
+    bsplit: int | None = None,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
     Falls back to the XLA stencil for shapes smaller than one haloed tile.
     ``tile_d`` is the in-kernel disparity chunk (the kernel loops over
     D/tile_d chunks per spatial tile with double-buffered DMA).
+
+    ``bsplit`` splits phase 1's dest columns so each dot contracts only a
+    K = bsplit + 2*HALO window slice instead of the whole span_w (the arm
+    band is narrow; the dense contraction is mostly zeros). ``None``
+    restores the single dense dot.
 
     ``compute_dtype`` sets the phase-1 multiply precision independently of
     the storage dtype. Default: matches storage (f32 volume -> exact f32
@@ -274,13 +368,21 @@ def cbca_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_h is None:
-        tile_h = 16
+        # 32 cuts the haloed-window read amplification to 2.34x (3.75x at
+        # 16) and measures faster at every tested shape (half-res bf16
+        # 16.5 -> 14.4 ms/round, full-res chunk 35.2 -> 30.4)
+        tile_h = 32
     if tile_d is None:
         tile_d = 128
     if tile_h % 16 or tile_w % 128 or tile_d % 128:
         raise ValueError(
             "tile_h must be a multiple of 16 and tile_w/tile_d of 128 "
             "(the clamped DMA bases must stay provably aligned)"
+        )
+    if bsplit is not None and (bsplit % 16 or tile_w % bsplit):
+        raise ValueError(
+            "bsplit must be a multiple of 16 dividing tile_w (split bases "
+            "feed 16-aligned sublane slices)"
         )
     radius = distance_threshold - 1
     if radius > _HALO:
@@ -333,12 +435,17 @@ def cbca_fused(
         rows_total=hp,
         cols_total=wp,
         compute_dtype=compute_dtype,
+        bsplit=bsplit,
     )
     span_h = tile_h + 2 * _HALO
     span_w = tile_w + 2 * _HALO
+    mask_shape = (
+        (span_h, span_w, tile_w) if bsplit is None
+        else (tile_w // bsplit, span_h, bsplit + 2 * _HALO, bsplit)
+    )
     scratch_shapes = [
         pltpu.VMEM((2, span_h, span_w, tile_d), volume.dtype),  # windows
-        pltpu.VMEM((span_h, span_w, tile_w), compute_dtype),    # h-mask
+        pltpu.VMEM(mask_shape, compute_dtype),                  # h-mask
         pltpu.VMEM((tile_w, span_h, tile_h), jnp.float32),      # v-mask
         pltpu.VMEM((span_h, tile_w, tile_d), jnp.float32),      # mid (f32)
         pltpu.VMEM((out_bufs, tile_h, tile_w, tile_d), volume.dtype),
@@ -370,7 +477,9 @@ def cbca_fused(
         # default *scoped* limit (v5e physical VMEM is 128 MB); measured
         # peak is ~20-30 MB depending on tile_h
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            # "arbitrary" pins the sequential row-major grid order the
+            # cross-tile chunk-0 prefetch relies on
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,

@@ -77,16 +77,21 @@ def match_pair(
     compare exactly (argmin tie excuses do not apply upstream of WTA).
     """
     on_tpu = jax.default_backend() == "tpu"
+    vdtype = jnp.dtype(volume_dtype)
     if cost_volume_method == "auto":
         cost_volume_method = "pallas" if on_tpu else "matmul"
     if cbca_impl == "auto":
-        # banded-0/1-matmul aggregation rides the MXU (~6x the stencil);
-        # it quantizes the volume to bf16 once per stage — use
-        # cbca_impl="pallas"/"xla" for exact f32 parity
-        cbca_impl = "mxu" if on_tpu else "xla"
+        # the fused VMEM-mask kernel with bf16 phase-1 multiplies is the
+        # fastest TPU aggregation at every measured shape (14-20 ms/round
+        # at half-res vs 24 dense-mxu / 30 exact-fused / 116 vpu-stencil)
+        # and quantizes ONLY the round's multiplicands — use
+        # cbca_impl="pallas"/"xla"/"fused" for exact f32 parity
+        if not on_tpu:
+            cbca_impl = "xla"
+        else:
+            cbca_impl = "fused" if vdtype == jnp.bfloat16 else "fused16"
     if constrain is None:
         constrain = lambda v: v  # noqa: E731
-    vdtype = jnp.dtype(volume_dtype)
     features_left = extract_features(params, left_image)
     features_right = extract_features(params, right_image)
 

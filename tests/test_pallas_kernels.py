@@ -115,7 +115,7 @@ def test_cbca_fused_matches_xla(rng, iterations, dist, tile_h):
 def test_cbca_fused_bf16_matches_f32_within_tolerance(rng):
     from mccnn_tpu.ops.cbca_fused import cbca_fused
 
-    height, width, ndisp = 52, 150, 5
+    height, width, ndisp = 100, 150, 5
     d_pad = 128
     image = rng.normal(size=(height, width)).astype(np.float32)
     volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
@@ -140,7 +140,7 @@ def test_cbca_fused_mixed_precision_matches_f32_within_tolerance(rng):
     """cbca_impl="fused16": f32 storage, bf16 phase-1 multiplies."""
     from mccnn_tpu.ops.cbca_fused import cbca_fused
 
-    height, width, ndisp = 52, 150, 5
+    height, width, ndisp = 100, 150, 5
     d_pad = 128
     image = rng.normal(size=(height, width)).astype(np.float32)
     volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)

@@ -57,6 +57,9 @@ def main():
     tile_d = int(os.environ.get("TILE_D", "128"))
     out_bufs = int(os.environ.get("OUT_BUFS", "2"))
     kw = dict(tile_h=tile_h, tile_d=tile_d, out_bufs=out_bufs)
+    if "BSPLIT" in os.environ:
+        b = os.environ["BSPLIT"]
+        kw["bsplit"] = None if b in ("none", "0") else int(b)
     variants = os.environ.get("VARIANTS", "mxu,fused,fused16,check").split(",")
     if "mxu" in variants:
         timed(jax.jit(lambda v, a: cbca_mxu(v, a, n, 14)), vol, arms,
@@ -77,10 +80,15 @@ def main():
         timed(jax.jit(lambda v, a: cbca(v, a, n, 14)), vol, arms,
               label=f"cbca xla stencil            x{n} iters")
 
-    if {"check", "check16", "checkmixed"} & set(variants):
-        # on-device numeric cross-check (Mosaic vs XLA, 1 round)
-        ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 1, 14))(vol, arms))
+    # On-device numeric cross-checks (Mosaic semantics vs the exact XLA
+    # stencil, 1 round). bf16 variants are judged in ABSOLUTE terms against
+    # the stencil run on the identically-quantized input: a
+    # |diff|/(|ref|+eps) metric spikes wherever the aggregated cost crosses
+    # zero and condemns any bf16 variant regardless of correctness
+    # (measured: rel-err "5.41" that was max abs diff 7.8e-3 = one bf16
+    # ulp at |value|~1 — see CLAUDE.md).
     if "check" in variants:
+        ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 1, 14))(vol, arms))
         got = np.asarray(
             jax.jit(lambda v, a: cbca_fused(v, a, 1, 14, **kw))(vol, arms)
         )
@@ -88,18 +96,27 @@ def main():
         print(f"fused-vs-xla max rel err (1 round, f32): {err:.2e}", flush=True)
     if "check16" in variants:
         vol16 = vol.astype(jnp.bfloat16)
+        refq = np.asarray(jax.jit(
+            lambda v, a: cbca(v.astype(jnp.float32), a, 1, 14))(vol16, arms))
         got16 = np.asarray(
             jax.jit(lambda v, a: cbca_fused(v, a, 1, 14, **kw))(vol16, arms)
         ).astype(np.float32)
-        err16 = np.max(np.abs(got16 - ref) / (np.abs(ref) + 1e-3))
-        print(f"fused-vs-xla max rel err (1 round, bf16): {err16:.2e}",
-              flush=True)
+        diff = np.abs(got16 - refq)
+        print(
+            f"bf16 abs diff vs xla(quantized input): max {diff.max():.3e} "
+            f"p99.9 {np.percentile(diff, 99.9):.3e} mean {diff.mean():.3e} "
+            f"(ref mean |value| {float(np.abs(refq).mean()):.3e})",
+            flush=True)
     if "checkmixed" in variants:
+        ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 1, 14))(vol, arms))
         gotm = np.asarray(jax.jit(lambda v, a: cbca_fused(
             v, a, 1, 14, compute_dtype=jnp.bfloat16, **kw))(vol, arms))
-        errm = np.max(np.abs(gotm - ref) / (np.abs(ref) + 1e-3))
-        print(f"fused-vs-xla max rel err (1 round, mixed): {errm:.2e}",
-              flush=True)
+        diff = np.abs(gotm - ref)
+        print(
+            f"mixed abs diff vs xla(f32 input): max {diff.max():.3e} "
+            f"p99.9 {np.percentile(diff, 99.9):.3e} mean {diff.mean():.3e} "
+            f"(ref mean |value| {float(np.abs(ref).mean()):.3e})",
+            flush=True)
 
 
 if __name__ == "__main__":

@@ -73,13 +73,19 @@ def main():
     arms_r = arms_fn(right)
     total += 2 * dt
 
-    impl = os.environ.get("CBCA_IMPL", "mxu")
+    impl = os.environ.get("CBCA_IMPL", "fused16")
     if jax.default_backend() != "tpu":
         impl = "xla"
     if impl == "mxu":
         from mccnn_tpu.ops.cbca_mxu import cbca_mxu as agg
     elif impl == "fused":
         from mccnn_tpu.ops.cbca_fused import cbca_fused as agg
+    elif impl == "fused16":
+        import functools
+
+        from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+        agg = functools.partial(cbca_fused, compute_dtype=jnp.bfloat16)
     else:
         agg = cbca
     cbca1_fn = jax.jit(lambda v, a: agg(v, a, 1))
