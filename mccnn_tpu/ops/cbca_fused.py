@@ -368,10 +368,14 @@ def cbca_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_h is None:
-        # 32 cuts the haloed-window read amplification to 2.34x (3.75x at
-        # 16) and measures faster at every tested shape (half-res bf16
-        # 16.5 -> 14.4 ms/round, full-res chunk 35.2 -> 30.4)
-        tile_h = 32
+        # Bigger row tiles cut the haloed-window read amplification
+        # ((th+32)/th x 1.25) AND phase-1's per-pixel MACs (batch dim =
+        # span_h while outputs are tile_h rows). Measured bf16 ms/round,
+        # th 32 -> 48 -> 64: half-res 13.4 -> 12.9 -> 12.9; full-res-width
+        # (1000x3008x256) 25.0 -> - -> 23.2. tile_w stays 128: tw256
+        # contracts span_w=288 per output column (~2x the phase-1 flops)
+        # and measured 22% slower than tw128 at th64.
+        tile_h = 64
     if tile_d is None:
         tile_d = 128
     if tile_h % 16 or tile_w % 128 or tile_d % 128:

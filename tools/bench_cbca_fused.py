@@ -54,9 +54,10 @@ def main():
 
     n = iters
     tile_h = int(os.environ.get("TILE_H", "16"))
+    tile_w = int(os.environ.get("TILE_W", "128"))
     tile_d = int(os.environ.get("TILE_D", "128"))
     out_bufs = int(os.environ.get("OUT_BUFS", "2"))
-    kw = dict(tile_h=tile_h, tile_d=tile_d, out_bufs=out_bufs)
+    kw = dict(tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, out_bufs=out_bufs)
     if "BSPLIT" in os.environ:
         b = os.environ["BSPLIT"]
         kw["bsplit"] = None if b in ("none", "0") else int(b)
@@ -66,16 +67,16 @@ def main():
               label=f"cbca mxu dense masks        x{n} iters")
     if "fused" in variants:
         timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14, **kw)), vol, arms,
-              label=f"cbca fused f32 th{tile_h} td{tile_d} ob{out_bufs} x{n}")
+              label=f"cbca fused f32 th{tile_h} tw{tile_w} td{tile_d} ob{out_bufs} x{n}")
     if "fused16" in variants:
         vol16 = vol.astype(jnp.bfloat16)
         timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14, **kw)), vol16, arms,
-              label=f"cbca fused bf16 th{tile_h} td{tile_d} ob{out_bufs} x{n}")
+              label=f"cbca fused bf16 th{tile_h} tw{tile_w} td{tile_d} ob{out_bufs} x{n}")
     if "mixed" in variants:
         # f32 storage, bf16 phase-1 multiplies (cbca_impl="fused16")
         timed(jax.jit(lambda v, a: cbca_fused(
             v, a, n, 14, compute_dtype=jnp.bfloat16, **kw)), vol, arms,
-              label=f"cbca fused mixed th{tile_h} td{tile_d} ob{out_bufs} x{n}")
+              label=f"cbca fused mixed th{tile_h} tw{tile_w} td{tile_d} ob{out_bufs} x{n}")
     if "xla" in variants:
         timed(jax.jit(lambda v, a: cbca(v, a, n, 14)), vol, arms,
               label=f"cbca xla stencil            x{n} iters")
