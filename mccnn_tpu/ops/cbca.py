@@ -130,14 +130,17 @@ def cbca(
     inv_region = (1.0 / region_size)[..., None]
 
     def one_round(_, vol):
+        # accumulate in f32 regardless of the storage dtype; each round's
+        # result is cast back to storage, matching the fused kernel's
+        # bf16-volume convention (storage bf16, accumulation f32)
         horiz = _arm_stencil_sum(
-            vol, arms.left, arms.right, axis=1,
+            vol.astype(jnp.float32), arms.left, arms.right, axis=1,
             distance_threshold=distance_threshold,
         )
         aggregated = _arm_stencil_sum(
             horiz, arms.up, arms.down, axis=0,
             distance_threshold=distance_threshold,
         )
-        return aggregated * inv_region
+        return (aggregated * inv_region).astype(vol.dtype)
 
     return lax.fori_loop(0, num_iterations, one_round, volume)
