@@ -94,6 +94,7 @@ def _round_kernel(
     cols_total: int,
     compute_dtype,
     bsplit: int | None,
+    phase2_precision,
 ):
     halo = _HALO
     i = pl.program_id(0)
@@ -239,12 +240,15 @@ def _round_kernel(
                 (k_idx >= lo_s[:, None, :]) & (k_idx <= hi_s[:, None, :])
             ).astype(compute_dtype)
 
-    # Vertical mask, generated directly in (w, m, t) layout and pre-scaled
-    # by 1/region_size so phase 2's dot already divides: vmask[b, m, t] =
-    # inv[t, b] iff window row m lies on the vertical arm of dest row t.
-    # Mid row m holds global row row_base + m; out row t is global
-    # row_base + row_off + t, so m - t - row_off must lie within
-    # [-up_arm, down_arm].
+    # Vertical mask, generated directly in (w, m, t) layout as plain 0/1:
+    # vmask[b, m, t] = 1 iff window row m lies on the vertical arm of dest
+    # row t. The 1/region division is applied AFTER the dot (one VPU
+    # multiply per output chunk) — sum-then-divide matches the XLA
+    # stencil's order, and a 0/1 mask is exactly representable in bf16, so
+    # a DEFAULT-precision (1-bf16-pass) phase-2 dot loses nothing on the
+    # mask side; its only rounding is the mid quantization. Mid row m
+    # holds global row row_base + m; out row t is global row_base +
+    # row_off + t, so m - t - row_off must lie within [-up_arm, down_arm].
     armu_t = armu_ref[:, :].T  # (TW, TH) int32
     armd_t = armd_ref[:, :].T
     inv_t = inv_ref[:, :].T    # (TW, TH) f32
@@ -256,7 +260,7 @@ def _round_kernel(
     m_idx = lax.broadcasted_iota(jnp.int32, (tile_w, span_h, tile_h), 1)
     vmask_ref[:, :, :] = (
         (m_idx >= lo2[:, None, :]) & (m_idx <= hi2[:, None, :])
-    ).astype(jnp.float32) * inv_t[:, None, :]
+    ).astype(jnp.float32)
 
     # The d-chunk loop is unrolled in Python (n_chunks is small and
     # static): a lax.fori_loop whose body starts/waits DMAs through
@@ -312,17 +316,18 @@ def _round_kernel(
         if k >= out_bufs:
             out_dma(o_slot, k - out_bufs).wait()
 
-        # Phase 2 (MXU): out[t, b, d] = sum_m vmask[b, m, t] mid[m, b, d],
-        # batched over columns b. Always f32 (see module docstring); the
-        # division by region size rides in vmask.
+        # Phase 2 (MXU): out[t, b, d] = inv[t, b] * sum_m vmask[b, m, t]
+        # mid[m, b, d], batched over columns b; f32 operands/accumulation,
+        # pass count set by phase2_precision (see module docstring).
         mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1)  # (TW, span_h, TD)
         agg = lax.dot_general(
             vmask_ref[:, :, :],
             mid_t,
             (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=phase2_precision,
         )  # (TW, TH, TD)
+        agg = agg * inv_t[:, :, None]
         outb_ref[o_slot] = jnp.swapaxes(agg, 0, 1).astype(outb_ref.dtype)
         out_dma(o_slot, k).start()
 
@@ -342,6 +347,7 @@ def cbca_fused(
     interpret: bool | None = None,
     compute_dtype=None,
     bsplit: int | None = None,
+    phase2_precision: str | lax.Precision | None = None,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
@@ -362,6 +368,18 @@ def cbca_fused(
     MXU-rate bf16 multiplies inside the round — the same numerics class as
     ops/cbca_mxu (one bf16 quantization of the operand per round), but
     quantizing only phase 1's multiplicands, not the horizontal sums.
+
+    ``phase2_precision`` sets the vertical dot's TPU matmul precision
+    (f32 operands: DEFAULT = 1 bf16 pass, HIGHEST = 6; Mosaic's kernel
+    lowering rejects HIGH). The pass count is MXU issue slots, and the
+    kernel is issue-bound, so phase 2's passes are ~40% of the round:
+    measured per round at half-res, bf16 12.9 -> 10.1 ms and mixed
+    19.7 -> 16.7 switching HIGHEST -> DEFAULT. Default: HIGHEST for
+    exact f32 aggregation, DEFAULT for the bf16/mixed fast modes — the
+    0/1 vertical mask is exact under the pass's bf16 quantization, so
+    the only added rounding is one bf16 quantization of the (f32)
+    horizontal sums per round, the same numerics class as the modes'
+    phase-1 quantization.
     """
     if num_iterations == 0:
         return volume
@@ -429,6 +447,14 @@ def cbca_fused(
             jnp.float32 if volume.dtype == jnp.float32 else jnp.bfloat16
         )
     compute_dtype = jnp.dtype(compute_dtype)
+    if isinstance(phase2_precision, str):
+        phase2_precision = lax.Precision[phase2_precision.upper()]
+    if phase2_precision is None:
+        phase2_precision = (
+            lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else lax.Precision.DEFAULT
+        )
     kernel = functools.partial(
         _round_kernel,
         tile_h=tile_h,
@@ -440,6 +466,7 @@ def cbca_fused(
         cols_total=wp,
         compute_dtype=compute_dtype,
         bsplit=bsplit,
+        phase2_precision=phase2_precision,
     )
     span_h = tile_h + 2 * _HALO
     span_w = tile_w + 2 * _HALO

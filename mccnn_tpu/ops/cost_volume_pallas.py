@@ -9,7 +9,9 @@ opposite image in VMEM and compute
 
 Two implementations:
   * MXU (default): ONE row-batched (TH; TW x C @ C x TW+TD) correlation
-    dot_general on the systolic array (f32 via HIGHEST precision), then
+    dot_general on the systolic array (f32 HIGHEST for f32 outputs; bf16
+    outputs default to the 1-pass DEFAULT dot — they quantize to bf16 on
+    the store anyway, and the kernel is dot-issue bound), then
     the band is read off the product's diagonals by skewing. BOTH bands
     read their context from a lane-REVERSED copy of the opposite feature
     array, which turns their increasing diagonals (slope +1, needing the
@@ -116,12 +118,16 @@ def _band_kernel(
         ).astype(out_r_ref.dtype)
 
 
-def _flip_lanes_mxu(band: jax.Array, tile_d: int) -> jax.Array:
+def _flip_lanes_mxu(band: jax.Array, tile_d: int,
+                    precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """band[..., v] -> band[..., tile_d - 1 - v] via an anti-identity matmul.
 
     Mosaic has no lane ``rev``; a (TD, TD) 0/1 exchange-matrix dot on the
     MXU is exact in f32 HIGHEST and costs about as much as the correlation
-    dot itself — far below the 7-masked-roll ladder it replaced.
+    dot itself — far below the 7-masked-roll ladder it replaced. At
+    DEFAULT precision (1 bf16 pass) the 0/1 matrix is still exact and the
+    permuted values carry one bf16 quantization — free when the band is
+    stored bf16 anyway (the fast schedules).
     """
     anti = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_d, tile_d), 0)
@@ -132,7 +138,7 @@ def _flip_lanes_mxu(band: jax.Array, tile_d: int) -> jax.Array:
         band, anti,
         dimension_numbers=(((band.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
@@ -197,6 +203,7 @@ def _band_kernel_mxu(
     d_total: int,
     w_total: int,
     ndisp: int | None,
+    precision,
 ):
     i = pl.program_id(0)
     k = pl.program_id(1)  # disparity-tile index
@@ -247,13 +254,13 @@ def _band_kernel_mxu(
         fl_tile[:, :, :], fr_ctx[:, :, :],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (TH, TW, TW + TD); reversed ctx: col t = fr[...hi - t]
     corr_r = jax.lax.dot_general(
         fr_tile[:, :, :], fl_ctx[:, :, :],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     # left band: out[u, v] = <fL(u), fR(u - v)> sits at corr_l col
     # t = TW - 1 - u + v. One uniform roll (t' = t + 1) plus the
@@ -293,6 +300,7 @@ def _band_kernel_mxu_one(
     w_total: int,
     ndisp: int | None,
     side: str,
+    precision,
 ):
     """Single-band variant of ``_band_kernel_mxu``: half the DMA traffic,
     matmuls, and output writes — used when the pipeline builds one volume
@@ -334,7 +342,7 @@ def _band_kernel_mxu_one(
         anchor_tile[:, :, :], ctx_tile[:, :, :],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )  # (TH, TW, TW + TD) — one row-batched dot (see _band_kernel_mxu)
     if side == "left":
         # reversed ctx + decreasing-diagonal skew: natural d order
@@ -344,7 +352,8 @@ def _band_kernel_mxu_one(
         # reversed ctx: band at lanes [TW, TW+TD) in reversed d order
         skewed = _skew_rows_neg(corr, tile_w)
         band = _flip_lanes_mxu(
-            skewed[:, :, tile_w: tile_w + tile_d], tile_d
+            skewed[:, :, tile_w: tile_w + tile_d], tile_d,
+            precision=precision,
         )
     out_ref[:, :, :] = _finalize_tile(band, k, tile_d, ndisp, out_ref.dtype)
 
@@ -361,6 +370,7 @@ def band_pair_pallas(
     sides: str = "both",
     out_dtype=None,
     finalize_ndisp: int | None = None,
+    precision=None,
 ) -> Tuple[jax.Array, jax.Array] | jax.Array:
     """(H, W, C) feature pair -> (left, right) score bands (H, W, d_pad).
 
@@ -387,6 +397,19 @@ def band_pair_pallas(
         interpret = jax.default_backend() != "tpu"
     if finalize_ndisp is not None and not use_mxu:
         raise ValueError("finalize_ndisp requires the MXU kernels")
+    out_dtype = out_dtype or features_left.dtype
+    if isinstance(precision, str):
+        precision = jax.lax.Precision[precision.upper()]
+    if precision is None:
+        # bf16-stored bands quantize to bf16 on write anyway: the 1-pass
+        # DEFAULT dot is the same numerics class at 1/6 the MXU issue
+        # slots (the kernel is dot-issue bound — see BASELINE.md). f32
+        # bands keep the exact 6-pass HIGHEST correlation.
+        precision = (
+            jax.lax.Precision.DEFAULT
+            if jnp.dtype(out_dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
     height, width, channels = features_left.shape
     d_total = _round_up(d_pad, tile_d)
     hp = _round_up(height, tile_h)
@@ -403,7 +426,6 @@ def band_pair_pallas(
         )
         return jnp.flip(f, axis=2) if reverse else f
 
-    out_dtype = out_dtype or features_left.dtype
     grid = (hp // tile_h, d_total // tile_d, wp // tile_w)
 
     def crop(out):
@@ -422,6 +444,7 @@ def band_pair_pallas(
             _band_kernel_mxu_one,
             tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
             w_total=w_total, ndisp=finalize_ndisp, side=sides,
+            precision=precision,
         )
         out = pl.pallas_call(
             kernel,
@@ -453,6 +476,7 @@ def band_pair_pallas(
             _band_kernel_mxu,
             tile_h=tile_h, tile_w=tile_w, tile_d=tile_d, d_total=d_total,
             w_total=w_total, ndisp=finalize_ndisp,
+            precision=precision,
         )
         out_shape = jax.ShapeDtypeStruct((hp, wp, d_total), out_dtype)
         out_l_spec = out_r_spec = pl.BlockSpec(

@@ -281,7 +281,7 @@ def _sweep(
     p2_base: float,
     config: MatchConfig,
     forward: bool,
-    chunk: int = 8,
+    chunk: int | None = None,
 ) -> jax.Array:
     """One DP sweep along dim 0 of ``volume`` (lines = dim-0 slices).
 
@@ -294,6 +294,8 @@ def _sweep(
     docstring). D2 penalty bits come from ``b2_chunk(start, length) ->
     (length, perp, D)``, built inside each step (see ``_penalty_bits``).
     """
+    if chunk is None:
+        chunk = int(getattr(config, "sgm_chunk", 8))
     size = volume.shape[0]
     perp = volume.shape[1]
     inv_q1 = 1.0 / config.sgm_q1

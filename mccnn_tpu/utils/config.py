@@ -54,6 +54,11 @@ class MatchConfig:
     median_filter_size: int = 5
     bilateral_filter_size: int = 5
     sgm_paper_mode: bool = False
+    # perf knob (semantics-neutral): lines per SGM scan step — amortizes
+    # the ~30us/step lax.scan bookkeeping against per-step slice traffic.
+    # Measured (tools/bench_sgm.py, half-res bf16 4-sweep volume):
+    # chunk 4 = 18.0 ms/sweep, 8 = 15.0, 16 = 14.7, 25/40 = 14.7-14.8
+    sgm_chunk: int = 16
     # the paper's disparity-conditioned joint-region CBCA (present but
     # disabled in the reference, src/process_functional.py:122-144,661-729);
     # see ops/cbca_joint.py for the semantics and documented deviations

@@ -61,6 +61,8 @@ def main():
     if "BSPLIT" in os.environ:
         b = os.environ["BSPLIT"]
         kw["bsplit"] = None if b in ("none", "0") else int(b)
+    if "P2PREC" in os.environ:  # phase-2 matmul precision: default|high|highest
+        kw["phase2_precision"] = os.environ["P2PREC"]
     variants = os.environ.get("VARIANTS", "mxu,fused,fused16,check").split(",")
     if "mxu" in variants:
         timed(jax.jit(lambda v, a: cbca_mxu(v, a, n, 14)), vol, arms,
