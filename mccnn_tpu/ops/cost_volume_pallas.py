@@ -463,6 +463,9 @@ def band_pair_pallas(
                 pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(anchor, ctx)
         return crop(out)
@@ -496,6 +499,9 @@ def band_pair_pallas(
                 pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(fl, fr, fl_rev, fr_rev)
         return crop(out_l), crop(out_r)

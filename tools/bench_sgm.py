@@ -46,20 +46,48 @@ def main():
     ).astype(dtype)
 
     sync = jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))
-    for chunk in chunks:
-        config = MatchConfig(sgm_chunk=chunk)
-        fn = jax.jit(
-            lambda v, li, ri: _sgm_one_volume(v, li, ri, "L", ndisp, config)
-        )
-        out = fn(vol, limg, rimg)
-        np.asarray(sync(out))
-        t0 = time.time()
-        for _ in range(iters):
+    impls = os.environ.get("IMPLS", "xla").split(",")
+    for impl in impls:
+        if impl == "pallas":
+            from mccnn_tpu.ops.sgm_pallas import sgm_pallas_one_volume
+
+            config = MatchConfig()
+            fn = jax.jit(lambda v, li, ri: sgm_pallas_one_volume(
+                v, li, ri, "L", ndisp, config))
             out = fn(vol, limg, rimg)
-        np.asarray(sync(out))
-        dt = (time.time() - t0) / iters * 1e3
-        print(f"chunk {chunk:3d}: {dt:8.1f} ms / 4-sweep volume "
-              f"({dt / 4:6.1f} ms/sweep)", flush=True)
+            np.asarray(sync(out))
+            t0 = time.time()
+            for _ in range(iters):
+                out = fn(vol, limg, rimg)
+            np.asarray(sync(out))
+            dt = (time.time() - t0) / iters * 1e3
+            print(f"pallas    : {dt:8.1f} ms / 4-sweep volume "
+                  f"({dt / 4:6.1f} ms/sweep)", flush=True)
+            if os.environ.get("CHECK"):
+                ref = jax.jit(lambda v, li, ri: _sgm_one_volume(
+                    v, li, ri, "L", ndisp, MatchConfig()))(vol, limg, rimg)
+                diff = np.abs(
+                    np.asarray(ref.astype(jnp.float32))
+                    - np.asarray(out.astype(jnp.float32))
+                )[:, :, :ndisp]
+                print(f"pallas vs xla: max abs diff {diff.max():.3e} "
+                      f"mean {diff.mean():.3e}", flush=True)
+            continue
+        for chunk in chunks:
+            config = MatchConfig(sgm_chunk=chunk)
+            fn = jax.jit(
+                lambda v, li, ri: _sgm_one_volume(v, li, ri, "L", ndisp,
+                                                  config)
+            )
+            out = fn(vol, limg, rimg)
+            np.asarray(sync(out))
+            t0 = time.time()
+            for _ in range(iters):
+                out = fn(vol, limg, rimg)
+            np.asarray(sync(out))
+            dt = (time.time() - t0) / iters * 1e3
+            print(f"chunk {chunk:3d}: {dt:8.1f} ms / 4-sweep volume "
+                  f"({dt / 4:6.1f} ms/sweep)", flush=True)
 
 
 if __name__ == "__main__":
