@@ -29,6 +29,7 @@ Prints exactly one JSON line on stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -351,7 +352,7 @@ def bench_full() -> None:
             # tile's matmuls) while bounding the call's live volume to
             # half; fully unchunked (D=512 per call) fails to fit full-res
             # HBM at compile (measured)
-            "cbca_chunk_d": 256,
+            "cbca_chunk_d": int(os.environ.get("CBCA_CHUNK_D", "256")),
         },
         parity=False,
         schedule="bf16_fused_sequential",

@@ -4,7 +4,7 @@ The f32 stage profiler (tools/profile_pipeline.py) cannot run at full-res
 scale — two f32 (2000, 3072, 512) volumes alone exceed one chip's HBM. This
 profiler mirrors what ``bench.py --config full`` actually executes: bf16
 volumes, ONE volume live at a time, the fused VMEM-mask CBCA kernel with
-``cbca_chunk_d=128``, dim-0 SGM sweeps on the bf16 volume. Run:
+``cbca_chunk_d=256``, dim-0 SGM sweeps on the bf16 volume. Run:
 
     python tools/profile_fullres.py [H W NDISP]
 """
@@ -63,7 +63,7 @@ def main():
     shape = [int(a) for a in sys.argv[1:4]] or [2000, 3072, 400]
     height, width, ndisp = shape
     d_pad = -(-ndisp // 128) * 128
-    chunk_d = 128
+    chunk_d = 256  # matches bench.py --config full (n_chunks=2 per call)
     config = MatchConfig()
     params = init_params(jax.random.key(0))
     rng = np.random.default_rng(0)
@@ -127,16 +127,28 @@ def main():
         vol = chunk_fn(vol, arms)
     np.asarray(jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))(vol))
     dt = (time.time() - t0) / 2
-    print(f"{'cbca_fused 1 round (chunk_d=128, donated)':42s} "
+    print(f"{'cbca_fused 1 round (chunked, donated)':42s} "
           f"{dt * 1e3:9.1f} ms", flush=True)
     print(f"{'  -> cbca total (2x(2+16), chunked)':42s} {dt * 36 * 1e3:9.1f} ms")
 
-    sweep_h = jax.jit(lambda v, a, b: _directional_sweep(
-        v, a, b, "L", (0, 1), ndisp, config))
-    _, dt = timed(sweep_h, vol, left, right, label="sgm horizontal sweep (bf16)")
-    sweep_v = jax.jit(lambda v, a, b: _directional_sweep(
-        v, a, b, "L", (1, 0), ndisp, config))
-    _, dtv = timed(sweep_v, vol, left, right, label="sgm vertical sweep (bf16)")
+    # donated + chained: a second live full-res volume OOMs the chip
+    sync = jax.jit(lambda t: jnp.sum(t.astype(jnp.float32)))
+
+    def timed_sweep(direction, label, vol):
+        fn = jax.jit(lambda v, a, b: _directional_sweep(
+            v, a, b, "L", direction, ndisp, config), donate_argnums=0)
+        vol = fn(vol, left, right)
+        np.asarray(sync(vol))
+        t0 = time.time()
+        for _ in range(2):
+            vol = fn(vol, left, right)
+        np.asarray(sync(vol))
+        dt = (time.time() - t0) / 2
+        print(f"{label:42s} {dt * 1e3:9.1f} ms", flush=True)
+        return dt, vol
+
+    dt, vol = timed_sweep((0, 1), "sgm horizontal sweep (bf16, donated)", vol)
+    dtv, vol = timed_sweep((1, 0), "sgm vertical sweep (bf16, donated)", vol)
     print(f"{'  -> sgm total (8 sweeps, 2 volumes)':42s} "
           f"{(dt + dtv) * 4 * 1e3:9.1f} ms")
 
