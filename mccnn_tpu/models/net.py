@@ -52,26 +52,39 @@ def init_params(
     return params
 
 
-def _conv_stack(params: Params, x: jax.Array) -> jax.Array:
+def _conv_stack(params: Params, x: jax.Array, compute_dtype=None) -> jax.Array:
     """VALID conv stack on NHWC input; ReLU on all layers but the last.
 
     Grouped convolution (the reference's conv() supports it via split/
     concat, reference: src/model.py:106-114) is expressed by kernels whose
     input-channel extent divides the activations': XLA's
     feature_group_count — no splitting needed.
+
+    ``compute_dtype=bfloat16`` runs the convs with bf16 operands and f32
+    accumulation (bias/ReLU/normalize stay f32-exact per layer before the
+    next layer's bf16 cast) — the MXU's native rate. The fast matching
+    schedules use it: their band correlation quantizes the features to
+    bf16 inside the dot anyway, so the only numerics added is the
+    per-layer activation rounding.
     """
     num_layers = len(params)
+    bf16 = compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
     for i in range(1, num_layers + 1):
         layer = params[f"conv{i}"]
         cin = x.shape[-1]
-        groups = cin // layer["w"].shape[2]
+        w = layer["w"]
+        groups = cin // w.shape[2]
+        if bf16:
+            x = x.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
         x = lax.conv_general_dilated(
             x,
-            layer["w"],
+            w,
             window_strides=(1, 1),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=groups,
+            preferred_element_type=jnp.float32 if bf16 else None,
         )
         x = x + layer["b"]
         if i < num_layers:
@@ -96,16 +109,19 @@ def patch_descriptors(params: Params, patches: jax.Array) -> jax.Array:
     return features.reshape(features.shape[0], features.shape[-1])
 
 
-def extract_features(params: Params, image: jax.Array) -> jax.Array:
-    """(H, W) standardized image -> (H, W, 64) unit descriptor field.
+def extract_features(params: Params, image: jax.Array,
+                     compute_dtype=None) -> jax.Array:
+    """(H, W) standardized image -> (H, W, 64) unit descriptor field (f32).
 
     Zero-pads by (patch-1)/2 on each side so the VALID stack returns one
     descriptor per input pixel (reference: src/process_functional.py:19-31).
+    ``compute_dtype`` — see ``_conv_stack``; the L2 normalize always runs
+    f32 and the descriptors return f32 either way.
     """
     num_layers = len(params)
     k = params["conv1"]["w"].shape[0]
     pad = (num_layers * (k - 1)) // 2
     x = jnp.pad(image, ((pad, pad), (pad, pad)))[None, :, :, None]
-    features = _conv_stack(params, x)
-    features = l2_normalize(features, axis=-1)
+    features = _conv_stack(params, x, compute_dtype)
+    features = l2_normalize(features.astype(jnp.float32), axis=-1)
     return features[0]

@@ -46,6 +46,7 @@ def match_pair(
     cbca_fn=None,
     recompute_features: bool | str = "auto",
     return_volumes: bool = False,
+    features_dtype: str = "auto",
 ) -> jax.Array:
     """(H, W) standardized image pair -> (H, W) float32 disparity map.
 
@@ -71,6 +72,11 @@ def match_pair(
     single-device programs; GSPMD cannot partition them, but shard_map
     runs them per shard with explicit halo exchange).
 
+    ``features_dtype`` ("auto"/"float32"/"bfloat16") sets the conv-stack
+    compute dtype. "auto" = f32: measured on v5e, an explicit bf16 stack
+    is bit-identical and no faster — XLA already lowers f32 convs at
+    DEFAULT (1-bf16-pass) precision on TPU (models/net.py).
+
     ``return_volumes=True`` returns a dict with the final disparity plus
     the fully-processed pre-WTA volumes and per-side WTA maps — the
     deterministic intermediates that sharded-vs-unsharded equality tests
@@ -92,8 +98,16 @@ def match_pair(
             cbca_impl = "fused" if vdtype == jnp.bfloat16 else "fused16"
     if constrain is None:
         constrain = lambda v: v  # noqa: E731
-    features_left = extract_features(params, left_image)
-    features_right = extract_features(params, right_image)
+    if features_dtype == "auto":
+        # measured: XLA TPU already lowers f32 convs at DEFAULT precision
+        # (bf16 passes) — an explicit bf16 conv stack is bit-identical
+        # and equally fast (18.9 vs 19.0 ms at half-res), so auto stays
+        # f32 everywhere; the knob remains for explicit experiments
+        features_dtype = "float32"
+    fdtype = jnp.dtype(features_dtype)
+    fcompute = fdtype if fdtype == jnp.bfloat16 else None
+    features_left = extract_features(params, left_image, fcompute)
+    features_right = extract_features(params, right_image, fcompute)
 
     distance = int(config.cbca_distance)
     if cbca_impl == "pallas":
@@ -197,8 +211,8 @@ def match_pair(
             right_disparity, limg, rimg = lax.optimization_barrier(
                 (right_disparity, left_image, right_image)
             )
-            features_left = extract_features(params, limg)
-            features_right = extract_features(params, rimg)
+            features_left = extract_features(params, limg, fcompute)
+            features_right = extract_features(params, rimg, fcompute)
         else:
             features_left, features_right, right_disparity = (
                 lax.optimization_barrier(
