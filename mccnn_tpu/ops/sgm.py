@@ -295,9 +295,17 @@ def _sweep(
     (length, perp, D)``, built inside each step (see ``_penalty_bits``).
     """
     if chunk is None:
-        chunk = int(getattr(config, "sgm_chunk", 8))
+        chunk = int(getattr(config, "sgm_chunk", 0))
     size = volume.shape[0]
     perp = volume.shape[1]
+    if chunk == 0:
+        # auto: per-step VPU work is chunk sequential DP lines whose f32
+        # intermediates stack in VMEM. Chunk 16 wins at half-res line
+        # sizes (14.7 vs 15.0 ms/sweep over chunk 8) but loses at full-res
+        # width, where 16 f32 lines are ~100 MB of step temporaries
+        # (measured 500x3072x512 bf16: chunk 8 = 25.0 ms/sweep, 16 = 27.0,
+        # 4 = 25.5) — switch at a 32 MB chunk-16 line stack
+        chunk = 16 if perp * volume.shape[2] <= 512 * 1024 else 8
     inv_q1 = 1.0 / config.sgm_q1
     inv_q2 = 1.0 / config.sgm_q2
     # DP math runs in f32 regardless of the volume storage dtype (bf16
@@ -307,19 +315,24 @@ def _sweep(
 
     def dp_line(prev, cur, b1, b2):
         cur = cur.astype(jnp.float32)
+        # truth table: both tests small -> 1, exactly one -> 1/q1,
+        # neither -> 1/q2 (reference: src/process_functional.py:497-541);
+        # written with | so the "neither" test is one op, not ~&~
         scale = jnp.where(
             b1[:, None] & b2,
             1.0,
-            jnp.where(~b1[:, None] & ~b2, inv_q2, inv_q1),
+            jnp.where(b1[:, None] | b2, inv_q1, inv_q2),
         )
         p1 = p1_base * scale
         p2 = p2_base * scale
         min_prev = jnp.min(prev, axis=1, keepdims=True)
         from_below = jnp.concatenate([big, prev[:, :-1]], axis=1)  # L(d-1)
         from_above = jnp.concatenate([prev[:, 1:], big], axis=1)  # L(d+1)
+        # min(a+p, b+p) == min(a,b)+p bit-exactly (rounding is monotone,
+        # identical addend) — one add instead of two per element
+        neighbor = jnp.minimum(from_below, from_above) + p1
         candidate = jnp.minimum(
-            jnp.minimum(prev, from_below + p1),
-            jnp.minimum(from_above + p1, min_prev + p2),
+            jnp.minimum(prev, neighbor), min_prev + p2
         )
         return cur + candidate - min_prev
 

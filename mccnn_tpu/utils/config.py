@@ -56,9 +56,12 @@ class MatchConfig:
     sgm_paper_mode: bool = False
     # perf knob (semantics-neutral): lines per SGM scan step — amortizes
     # the ~30us/step lax.scan bookkeeping against per-step slice traffic.
-    # Measured (tools/bench_sgm.py, half-res bf16 4-sweep volume):
-    # chunk 4 = 18.0 ms/sweep, 8 = 15.0, 16 = 14.7, 25/40 = 14.7-14.8
-    sgm_chunk: int = 16
+    # Measured (tools/bench_sgm.py, bf16 4-sweep volume): half-res chunk
+    # 4 = 18.0 ms/sweep, 8 = 15.0, 16 = 14.7, 25/40 = 14.7-14.8; full-res
+    # width (500x3072x512) 4 = 25.5, 8 = 25.0, 16 = 27.0 (the f32 line
+    # stack outgrows VMEM). 0 = auto: 16 below a 32 MB chunk-16 line
+    # stack, 8 above (ops/sgm.py::_sweep)
+    sgm_chunk: int = 0
     # the paper's disparity-conditioned joint-region CBCA (present but
     # disabled in the reference, src/process_functional.py:122-144,661-729);
     # see ops/cbca_joint.py for the semantics and documented deviations
