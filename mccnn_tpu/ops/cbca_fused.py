@@ -312,9 +312,20 @@ def _round_kernel(
             def _():
                 win_dma_at(0, 0, nrb, ncb).start()
 
-        # the rotating out buffer must have drained before it is rewritten
-        if k >= out_bufs:
-            out_dma(o_slot, k - out_bufs).wait()
+        # The rotating out buffer must have drained before it is rewritten.
+        # Out buffers and their semaphores persist across grid steps (the
+        # sequential "arbitrary" grid), so the previous DMA on this slot
+        # may belong to the PREDECESSOR tile — wait on the slot's
+        # semaphore whenever any copy is outstanding on it (the wait
+        # descriptor only fixes the byte count, which is identical for
+        # every out chunk), instead of draining every DMA at tile end
+        # (that exposed the last chunk's ~2 MB write on the critical path
+        # of every tile).
+        g = (i * pl.num_programs(1) + j) * n_chunks + k
+
+        @pl.when(g >= out_bufs)
+        def _():
+            out_dma(o_slot, k).wait()
 
         # Phase 2 (MXU): out[t, b, d] = inv[t, b] * sum_m vmask[b, m, t]
         # mid[m, b, d], batched over columns b; f32 operands/accumulation,
@@ -331,8 +342,14 @@ def _round_kernel(
         outb_ref[o_slot] = jnp.swapaxes(agg, 0, 1).astype(outb_ref.dtype)
         out_dma(o_slot, k).start()
 
-    for k in range(max(0, n_chunks - out_bufs), n_chunks):
-        out_dma(k % out_bufs, k).wait()
+    # drain the in-flight writes only once, at the end of the LAST grid
+    # step (cross-tile waits above cover every earlier reuse)
+    @pl.when(
+        (i == pl.num_programs(0) - 1) & (j == pl.num_programs(1) - 1)
+    )
+    def _():
+        for k in range(max(0, n_chunks - out_bufs), n_chunks):
+            out_dma(k % out_bufs, k).wait()
 
 
 def cbca_fused(

@@ -362,8 +362,11 @@ def band_pair_pallas(
     features_left: jax.Array,
     features_right: jax.Array,
     d_pad: int,
-    tile_h: int = 16,  # th8 -> 16 measured: full-res side 144 -> 126.5 ms,
-    #                    half-res pair 36.3 -> 35.2 (fewer per-tile DMA waits)
+    tile_h: int = 32,  # th8 -> 16 measured: full-res side 144 -> 126.5 ms,
+    #                    half-res pair 36.3 -> 35.2 (fewer per-tile DMA
+    #                    waits); th16 -> 32 with bf16 feature DMA:
+    #                    full-width side 57.8 -> 53.0 ms, half-res side
+    #                    20.6 -> 19.7 (isolated, H=1000 proxies)
     tile_w: int = 128,
     tile_d: int = 128,
     interpret: bool | None = None,
@@ -411,6 +414,17 @@ def band_pair_pallas(
             if jnp.dtype(out_dtype) == jnp.bfloat16
             else jax.lax.Precision.HIGHEST
         )
+    if (
+        precision == jax.lax.Precision.DEFAULT
+        and features_left.dtype == jnp.float32
+        and use_mxu
+    ):
+        # the 1-pass DEFAULT dot rounds each f32 operand to bf16 anyway, so
+        # pre-cast features are BIT-IDENTICAL through the correlation while
+        # halving the kernel's feature DMA traffic (the full-res band is
+        # partly DMA-bound: ~18 GB of f32 feature reads per side)
+        features_left = features_left.astype(jnp.bfloat16)
+        features_right = features_right.astype(jnp.bfloat16)
     height, width, channels = features_left.shape
     d_total = _round_up(d_pad, tile_d)
     hp = _round_up(height, tile_h)
