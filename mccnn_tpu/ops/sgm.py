@@ -96,10 +96,12 @@ def _sgm_one_volume(
     ndisp: int,
     config: MatchConfig,
 ) -> jax.Array:
+    cache: dict = {}  # shares the vertical D2 volume between up and down
     if config.sgm_paper_mode:
         swept = [
             _directional_sweep(
-                volume, left_image, right_image, choice, d, ndisp, config
+                volume, left_image, right_image, choice, d, ndisp, config,
+                cache,
             )
             for d in _DIRECTIONS
         ]
@@ -107,7 +109,8 @@ def _sgm_one_volume(
     # reference-faithful: chained in-place sweeps (the aliasing quirk)
     for direction in _DIRECTIONS:
         volume = _directional_sweep(
-            volume, left_image, right_image, choice, direction, ndisp, config
+            volume, left_image, right_image, choice, direction, ndisp,
+            config, cache,
         )
     return volume
 
@@ -120,6 +123,7 @@ def _directional_sweep(
     direction: Tuple[int, int],
     ndisp: int,
     config: MatchConfig,
+    cache: dict | None = None,
 ) -> jax.Array:
     rh, rw = direction
     vertical = rh != 0
@@ -127,7 +131,8 @@ def _directional_sweep(
     p2_base = config.sgm_p2
 
     small_d1, b2_chunk = _penalty_bits(
-        left_image, right_image, choice, direction, volume.shape[2], config.sgm_d
+        left_image, right_image, choice, direction, volume.shape[2],
+        config.sgm_d, cache,
     )
     forward = (rh == 1) if vertical else (rw == 1)
     if vertical:
@@ -151,6 +156,7 @@ def _penalty_bits(
     direction: Tuple[int, int],
     d_pad: int,
     sgm_d: float,
+    cache: dict | None = None,
 ):
     """(D1 < sgm_d) plane and a per-chunk (D2 < sgm_d) builder.
 
@@ -237,9 +243,28 @@ def _penalty_bits(
     idx = jnp.clip(probe, 0, width - 1)
 
     if height * width * d_pad <= _B2_MATERIALIZE_LIMIT:
+        ck = ("b2v", choice)
+        if cache is not None and ck in cache and cache[ck][0] == -rh:
+            # The opposite vertical direction already gathered its D2
+            # volume, and grad(rh) == roll(grad(-rh), rh, axis=0) exactly
+            # (both are wrapped jnp.roll differences of the same image),
+            # so this direction's bits are the cached volume shifted by rh
+            # rows. Sweep chunks only ever cover interior lines (the seed
+            # line is never updated), so start - rh stays in [0, H) and
+            # the wrap row is never read — a plain shifted slice replaces
+            # the 40+ ms serialized gather at full-res.
+            prev_b2 = cache[ck][1]
+
+            def b2_chunk(start, length, _b2=prev_b2, _rh=rh):
+                return lax.dynamic_slice_in_dim(_b2, start - _rh, length,
+                                                axis=0)
+
+            return small_d1, b2_chunk
         # one full gather outside the scan (e.g. 385 MB bool at half-res)
         # is 4x faster than gathering per chunk inside it
         b2_full = jnp.where(oor[None], True, jnp.take(small_other, idx, axis=1))
+        if cache is not None:
+            cache[ck] = (rh, b2_full)
 
         def b2_chunk(start, length):
             return lax.dynamic_slice_in_dim(b2_full, start, length, axis=0)

@@ -182,7 +182,8 @@ def match_pair(
         )
 
     if cost_volume_method == "pallas" or cost_volume_fn is not None:
-        if cost_volume_fn is None:
+        default_band = cost_volume_fn is None
+        if default_band:
             def cost_volume_fn(fl, fr, sides):
                 return cost_volume_pair(fl, fr, ndisp, method="pallas",
                                         sides=sides, dtype=vdtype)
@@ -192,11 +193,21 @@ def match_pair(
         # stays live through LR-interpolation and subpixel) materializes.
         # The barrier forces that schedule, pinning peak HBM at one volume
         # plus one round double-buffer — the full-resolution budget.
+        if vdtype == jnp.bfloat16 and default_band:
+            # the band kernel's 1-pass DEFAULT correlation rounds f32
+            # features to bf16 in-register anyway (ops/cost_volume_pallas),
+            # so casting the descriptor maps once here is BIT-IDENTICAL —
+            # and holding the 1.45 GB bf16 copies across the right-volume
+            # phase is cheaper than the ~156 ms of feature recomputation
+            # the f32 maps (2.9 GB) used to force at full-res
+            features_left = features_left.astype(jnp.bfloat16)
+            features_right = features_right.astype(jnp.bfloat16)
         if recompute_features == "auto":
-            # in the bf16 full-res schedule, holding 2.9 GB of f32 feature
-            # maps across the whole right-volume phase costs more HBM
-            # headroom than ~2 extra feature extractions cost time
-            recompute_features = vdtype == jnp.bfloat16
+            # custom cost_volume_fn (the sharded matcher) keeps the f32
+            # recompute schedule; the default band path holds bf16 maps
+            recompute_features = (
+                vdtype == jnp.bfloat16 and not default_band
+            )
         right_volume = constrain(
             cost_volume_fn(features_left, features_right, "right")
         )
