@@ -77,6 +77,49 @@ def main():
           f"mxu={worst_mxu:.4f} (budget 0.005)")
     assert worst <= 0.005 and worst_mxu <= 0.005
 
+    # ---- per-family report: the 4 synthetic scene families ------------
+    # (translation / slanted plane / textureless patches / occlusion
+    # geometry — utils/scenes.py). Occluded pixels (no correspondence)
+    # are excluded from scoring, as Middlebury's nonocc metric does.
+    from mccnn_tpu.utils.scenes import scene_pair
+
+    print("\nPer-family parity (48x64 scenes):")
+    print(f"{'family':>12} {'pipeline':>12} {'bad-2.0':>9} {'avg_err':>9}")
+    fam_worst = {}
+    for i, family in enumerate(
+        ("translation", "slanted", "textureless", "occlusion")
+    ):
+        frng = np.random.default_rng(100 + i)
+        left, right, gt, occluded, ndisp = scene_pair(
+            family, frng, 48, 64, max_disparity=6
+        )
+        gt_eval = gt.copy()
+        gt_eval[occluded] = np.inf
+        oracle = _oracle_pipeline(params, left, right, ndisp, CFG)
+        exact = np.asarray(match_pair(
+            params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+            cbca_impl="xla",
+        ))
+        fast = np.asarray(match_pair(
+            params, jnp.asarray(left), jnp.asarray(right), ndisp, CFG,
+            cbca_impl="mxu",
+        ))
+        scores = {}
+        for name, disp in (("oracle", oracle), ("ours-exact", exact),
+                           ("ours-mxu", fast)):
+            m = evaluate_pair(disp, gt_eval)
+            scores[name] = m["bad_2.0"]
+            print(f"{family:>12} {name:>12} {m['bad_2.0']:>9.4f} "
+                  f"{m['avg_err']:>9.4f}")
+        fam_worst[family] = max(
+            abs(scores["ours-exact"] - scores["oracle"]),
+            abs(scores["ours-mxu"] - scores["oracle"]),
+        )
+    worst_family = max(fam_worst.values())
+    print(f"\nmax per-family |bad-2.0 delta| vs oracle: "
+          f"{worst_family:.4f} (budget 0.005)")
+    assert worst_family <= 0.005, fam_worst
+
 
 if __name__ == "__main__":
     main()
