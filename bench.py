@@ -189,6 +189,14 @@ def _stage_profile(params, left, right, ndisp: int, config,
         from mccnn_tpu.ops.cbca_fused import cbca_fused
 
         agg = functools.partial(cbca_fused, compute_dtype=jnp.bfloat16)
+    elif impl == "rolling":
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling as agg
+    elif impl == "rolling16":
+        import functools
+
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+        agg = functools.partial(cbca_fused_rolling, compute_dtype=jnp.bfloat16)
     else:
         agg = cbca
     arms = jax.jit(lambda i: compute_arms(i, config.cbca_intensity,

@@ -199,11 +199,16 @@ def _rolling_kernel(
         out_dma(parity, row, k).start()
 
     for k in range(n_chunks):
-        # top-image halo slots: tile 0's window rows [-HALO, 0) don't
-        # exist; their mask is zero (capped up-arms), zero the VALUES too
-        # so no uninitialized VMEM (potential NaN) feeds the 0*x dot
-        mid_ref[pl.ds(ring - halo, halo)] = jnp.zeros(
-            (halo, tile_w, tile_d), jnp.float32
+        # Ring slots [TH+SUB, ring) are read by the FIRST p2 of the chunk
+        # before anything writes them: [ring-HALO, ring) as the top-image
+        # halo (rows [-HALO, 0), which don't exist) and [TH+SUB, ring-HALO)
+        # as future rows the masks zero. Zero the VALUES too — the masks
+        # alone don't protect the dot from uninitialized VMEM, because
+        # 0 * NaN = NaN in the contraction (observed on hardware at
+        # tile_h 64; at tile_h 32 the non-halo gap is empty, which is why
+        # interpret-mode tests at th32 could not catch it).
+        mid_ref[pl.ds(tile_h + sub, ring - tile_h - sub)] = jnp.zeros(
+            (ring - tile_h - sub, tile_w, tile_d), jnp.float32
         )
         # prologue: rows [0, TH) through both window buffers
         win_dma(0, 0, k).start()

@@ -125,6 +125,17 @@ def match_pair(
 
         aggregate = _functools.partial(cbca_fused,
                                        compute_dtype=jnp.bfloat16)
+    elif cbca_impl == "rolling":
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling as aggregate
+    elif cbca_impl == "rolling16":
+        # rolling-row window (each volume row DMA'd once per round) with
+        # f32 storage and bf16 phase-1 multiplies — fused16's numerics
+        import functools as _functools
+
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+        aggregate = _functools.partial(cbca_fused_rolling,
+                                       compute_dtype=jnp.bfloat16)
     else:
         aggregate = cbca
 

@@ -160,6 +160,71 @@ def test_cbca_fused_mixed_precision_matches_f32_within_tolerance(rng):
     assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
 
 
+@pytest.mark.parametrize("iterations,dist", [(1, 14), (2, 4)])
+def test_cbca_rolling_matches_xla(rng, iterations, dist):
+    """Rolling-row fused CBCA == exact stencil up to f32 accumulation order.
+
+    Non-multiple-of-tile H/W so the padded pair-block tail (zero-arm rows,
+    gated subC/subD DMAs) and clamped column tiles are exercised.
+    """
+    from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+    height, width, ndisp = 100, 150, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, dist)
+
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, iterations, dist))
+    ours = np.asarray(
+        cbca_fused_rolling(jnp.asarray(volume), arms, iterations, dist,
+                           interpret=True, tile_h=32)
+    )
+    assert ours.shape == volume.shape
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_cbca_rolling_bf16_matches_f32_within_tolerance(rng):
+    from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+    height, width, ndisp = 100, 150, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 14)
+
+    exact = np.asarray(cbca(jnp.asarray(volume), arms, 2, 14))
+    fast = np.asarray(
+        cbca_fused_rolling(
+            jnp.asarray(volume).astype(jnp.bfloat16), arms, 2, 14,
+            interpret=True, tile_h=32,
+        )
+    ).astype(np.float32)
+    np.testing.assert_allclose(
+        fast[:, :, :ndisp], exact[:, :, :ndisp], rtol=0.05, atol=0.05
+    )
+    assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
+
+
+def test_cbca_rolling_tiny_width_falls_back_to_xla(rng):
+    from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+    height, width, ndisp = 40, 30, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 4)
+
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, 2, 4))
+    ours = np.asarray(
+        cbca_fused_rolling(jnp.asarray(volume), arms, 2, 4, interpret=True)
+    )
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
+
+
 def test_cbca_fused_tiny_shape_falls_back_to_xla(rng):
     from mccnn_tpu.ops.cbca_fused import cbca_fused
 

@@ -79,6 +79,21 @@ def main():
         timed(jax.jit(lambda v, a: cbca_fused(
             v, a, n, 14, compute_dtype=jnp.bfloat16, **kw)), vol, arms,
               label=f"cbca fused mixed th{tile_h} tw{tile_w} td{tile_d} ob{out_bufs} x{n}")
+    if "rolling" in variants or "rolling16" in variants:
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+        rkw = dict(tile_h=tile_h, tile_w=tile_w, tile_d=tile_d)
+        if "P2PREC" in os.environ:
+            rkw["phase2_precision"] = os.environ["P2PREC"]
+        if "rolling" in variants:
+            timed(jax.jit(lambda v, a: cbca_fused_rolling(v, a, n, 14, **rkw)),
+                  vol, arms,
+                  label=f"cbca rolling f32 th{tile_h} tw{tile_w} td{tile_d} x{n}")
+        if "rolling16" in variants:
+            vol16 = vol.astype(jnp.bfloat16)
+            timed(jax.jit(lambda v, a: cbca_fused_rolling(v, a, n, 14, **rkw)),
+                  vol16, arms,
+                  label=f"cbca rolling bf16 th{tile_h} tw{tile_w} td{tile_d} x{n}")
     if "xla" in variants:
         timed(jax.jit(lambda v, a: cbca(v, a, n, 14)), vol, arms,
               label=f"cbca xla stencil            x{n} iters")
@@ -110,6 +125,27 @@ def main():
             f"p99.9 {np.percentile(diff, 99.9):.3e} mean {diff.mean():.3e} "
             f"(ref mean |value| {float(np.abs(refq).mean()):.3e})",
             flush=True)
+    if "checkroll" in variants:
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+        rkw = dict(tile_h=tile_h, tile_w=tile_w, tile_d=tile_d)
+        ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 1, 14))(vol, arms))
+        got = np.asarray(jax.jit(
+            lambda v, a: cbca_fused_rolling(v, a, 1, 14, **rkw))(vol, arms))
+        diff = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+        print(f"rolling-vs-xla max rel err (1 round, f32): {diff.max():.2e}",
+              flush=True)
+        vol16 = vol.astype(jnp.bfloat16)
+        refq = np.asarray(jax.jit(
+            lambda v, a: cbca(v.astype(jnp.float32), a, 1, 14))(vol16, arms))
+        got16 = np.asarray(jax.jit(
+            lambda v, a: cbca_fused_rolling(v, a, 1, 14, **rkw))(vol16, arms)
+        ).astype(np.float32)
+        diff = np.abs(got16 - refq)
+        print(
+            f"rolling bf16 abs diff vs xla(quantized input): max "
+            f"{diff.max():.3e} p99.9 {np.percentile(diff, 99.9):.3e} "
+            f"mean {diff.mean():.3e}", flush=True)
     if "checkmixed" in variants:
         ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 1, 14))(vol, arms))
         gotm = np.asarray(jax.jit(lambda v, a: cbca_fused(
