@@ -74,7 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cost_volume_method", type=str, default="auto",
                         choices=["auto", "pallas", "matmul", "rolldot"])
     parser.add_argument("--cbca_impl", type=str, default="auto",
-                        choices=["auto", "mxu", "fused", "pallas", "xla"],
+                        choices=["auto", "mxu", "fused", "fused16", "pallas",
+                                 "xla", "rolling", "rolling16"],
                         help="CBCA aggregation backend. 'auto' picks the "
                              "fast MXU path on TPU (bf16 multiplies, ~0.16%% "
                              "mean relative deviation per stage; end-to-end "
@@ -103,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--multihost", action="store_true",
                         help="shard scenes across jax processes (strided by "
                              "process_index) inside the --start/--end range")
+    parser.add_argument("--stage_times", action="store_true",
+                        help="print per-stage wall-clock for every scene "
+                             "(the reference prints each pipeline stage, "
+                             "src/match.py:126-176). Runs the pipeline as "
+                             "stage-isolated programs with a sync per stage "
+                             "— slower than the fused program; for "
+                             "observability, not throughput")
     return parser
 
 
@@ -174,7 +182,16 @@ def main(argv=None) -> None:
             )
 
         start_time = time.time()
-        disparity = pipeline(left_image, right_image, ndisp)
+        if args.stage_times:
+            disparity, stage_seconds = pipeline.stage_times(
+                left_image, right_image, ndisp
+            )
+            for stage, seconds in stage_seconds.items():
+                print(f"  {stage:16s} {seconds * 1e3:9.1f} ms", flush=True)
+            logger.log(event="stage_times", index=index,
+                       **{k: round(v, 4) for k, v in stage_seconds.items()})
+        else:
+            disparity = pipeline(left_image, right_image, ndisp)
         elapsed = time.time() - start_time
 
         save_disparity_pgm(disparity, paths.out_pgm)

@@ -117,6 +117,48 @@ def main(argv=None, stdin=None, stdout=None) -> None:
           file=stdout, flush=True)
 
     # ---- serve loop: newline requests until EOF/blank line ----
+    # Double-buffered: scene N is DISPATCHED (device enqueue, no sync),
+    # then scene N-1 is finalized (result fetch + artifact writes) while
+    # N's device program runs; the next iteration's image load/decode also
+    # overlaps it. Responses stay in request order (the pending scene is
+    # always finalized before any newer response is emitted).
+    pending = None  # (scene_dir, out_dir, t0, warm, height, width, handle)
+    served = [0, 0.0]  # scenes finalized, wall seconds of serve phase
+    t_serve0 = time.time()
+
+    def finalize():
+        nonlocal pending
+        if pending is None:
+            return
+        scene_dir, out_dir, t0, warm, height, width, handle = pending
+        pending = None
+        try:
+            disparity = pipeline.fetch(handle)
+            elapsed = time.time() - t0
+            os.makedirs(out_dir, exist_ok=True)
+            write_pfm(disparity, os.path.join(out_dir, "disp0MCCNN.pfm"))
+            save_disparity_pgm(
+                disparity, os.path.join(out_dir, "disp0MCCNN.pgm")
+            )
+            save_time_file(elapsed, os.path.join(out_dir, "timeMCCNN.txt"))
+            served[0] += 1
+            print(json.dumps({
+                "scene": scene_dir,
+                "seconds": round(elapsed, 4),
+                "mpix_per_s": round(height * width / 1e6 / elapsed, 4),
+                # completion timestamp relative to serve-loop start:
+                # differences between consecutive scenes are the true
+                # overlapped throughput (per-scene `seconds` spans host
+                # work for neighboring scenes by design)
+                "t": round(time.time() - t_serve0, 4),
+                "warm": warm,
+                "ok": True,
+            }), file=stdout, flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({"scene": scene_dir, "ok": False,
+                              "error": str(exc)[:300]}),
+                  file=stdout, flush=True)
+
     for line in stdin:
         line = line.strip()
         if not line:
@@ -132,28 +174,26 @@ def main(argv=None, stdin=None, stdout=None) -> None:
             left = standardize_image(load_grayscale(left_path))
             right = standardize_image(load_grayscale(right_path))
             t0 = time.time()
-            disparity = pipeline(left, right, ndisp)
-            elapsed = time.time() - t0
+            handle = pipeline.dispatch(left, right, ndisp)
             warmed.add(bucket_of(height, width, ndisp))
-            os.makedirs(out_dir, exist_ok=True)
-            write_pfm(disparity, os.path.join(out_dir, "disp0MCCNN.pfm"))
-            save_disparity_pgm(
-                disparity, os.path.join(out_dir, "disp0MCCNN.pgm")
-            )
-            save_time_file(elapsed, os.path.join(out_dir, "timeMCCNN.txt"))
-            print(json.dumps({
-                "scene": scene_dir,
-                "seconds": round(elapsed, 4),
-                "mpix_per_s": round(height * width / 1e6 / elapsed, 4),
-                "warm": warm,
-                "ok": True,
-            }), file=stdout, flush=True)
+            nxt = (scene_dir, out_dir, t0, warm, height, width, handle)
         except Exception as exc:  # noqa: BLE001 — a bad scene must not
             # kill the server (crash-and-rerun granularity stays one scene,
-            # like the reference's --start/--end contract)
+            # like the reference's --start/--end contract); finalize the
+            # pending scene first so responses stay in request order
+            finalize()
             print(json.dumps({"scene": line, "ok": False,
                               "error": str(exc)[:300]}),
                   file=stdout, flush=True)
+            continue
+        finalize()  # overlaps the freshly-dispatched scene's device run
+        pending = nxt
+    finalize()
+    if served[0]:
+        served[1] = time.time() - t_serve0
+        print(f"served {served[0]} scenes in {served[1]:.2f}s "
+              f"({served[0] / served[1]:.2f} pairs/s)",
+              file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

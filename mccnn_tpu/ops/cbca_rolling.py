@@ -26,8 +26,13 @@ Structure per (column tile, disparity chunk):
     [t - HALO, t + tile_h + HALO) window belong to rows the border-capped
     arms can never gate (radius <= HALO < SUB), so their mask is zero by
     the same arm comparison that builds the in-window gates — no validity
-    term, no data movement, and the top-image halo slots are zeroed once
-    per chunk so no uninitialized VMEM feeds the MXU.
+    term, no data movement. The whole not-yet-written slot range
+    [TH+SUB, ring) is zeroed once per chunk before the prologue: its tail
+    [ring-HALO, ring) is the top-image halo (rows [-HALO, 0), which don't
+    exist) and the gap [TH+SUB, ring-HALO) holds future rows the masks
+    zero — but a zero MASK alone doesn't protect the dot from
+    uninitialized VMEM (0 * NaN = NaN inside the contraction, observed on
+    hardware at tile_h 64), so the VALUES must be zeroed too.
 
 The ring timing is exact: output tile [base, base+tile_h) is contracted
 right after the sub-step covering rows [base+tile_h, base+tile_h+SUB)

@@ -129,12 +129,39 @@ def _directional_sweep(
     vertical = rh != 0
     p1_base = config.sgm_p1 / config.sgm_v if vertical else config.sgm_p1
     p2_base = config.sgm_p2
+    forward = (rh == 1) if vertical else (rw == 1)
+
+    if getattr(config, "sgm_u8", False):
+        # One precomputed uint8 code volume (0/1/2 = scale 1, 1/Q1, 1/Q2)
+        # replaces the per-line b1/b2 slices and the in-scan where-chain
+        # (same predicate — see ops/sgm_pallas.penalty_scale_u8). Measured
+        # on v5e at half-res: NO WIN (see the negative-result note at
+        # _sweep's scale_chunk parameter); kept as a tested knob.
+        from mccnn_tpu.ops.sgm_pallas import penalty_scale_u8
+
+        codes = penalty_scale_u8(
+            left_image, right_image, choice, direction, volume.shape[2],
+            config.sgm_d,
+        )
+
+        def scale_chunk(start, length, _c=codes):
+            return lax.dynamic_slice_in_dim(_c, start, length, axis=0)
+
+        if vertical:
+            return _sweep(
+                volume, None, None, p1_base, p2_base, config, forward,
+                scale_chunk=scale_chunk,
+            )
+        out = _sweep(
+            volume.swapaxes(0, 1), None, None, p1_base, p2_base, config,
+            forward, scale_chunk=scale_chunk,
+        )
+        return out.swapaxes(0, 1)
 
     small_d1, b2_chunk = _penalty_bits(
         left_image, right_image, choice, direction, volume.shape[2],
         config.sgm_d, cache,
     )
-    forward = (rh == 1) if vertical else (rw == 1)
     if vertical:
         return _sweep(
             volume, small_d1, b2_chunk, p1_base, p2_base, config, forward
@@ -307,6 +334,7 @@ def _sweep(
     config: MatchConfig,
     forward: bool,
     chunk: int | None = None,
+    scale_chunk=None,
 ) -> jax.Array:
     """One DP sweep along dim 0 of ``volume`` (lines = dim-0 slices).
 
@@ -318,6 +346,15 @@ def _sweep(
     place (callers transpose for horizontal sweeps — see module
     docstring). D2 penalty bits come from ``b2_chunk(start, length) ->
     (length, perp, D)``, built inside each step (see ``_penalty_bits``).
+
+    ``scale_chunk`` (config.sgm_u8): slices of a precomputed uint8 code
+    volume replace small_d1/b2_chunk; the scale is decoded in-scan with
+    the arithmetically-identical compare/select chain. NEGATIVE RESULT
+    (v5e, half-res 1000x1504x256 bf16, tools/bench_sgm.py IMPLS=u8): the
+    decode costs the same ~4 VPU passes the b1/b2 where-chain does, and
+    the code volume's production + HBM round-trip is pure overhead on
+    top — the sweep stays VPU-throughput bound (~25 passes/element, same
+    roofline the Pallas sweep hit; see ops/sgm_pallas.py).
     """
     if chunk is None:
         chunk = int(getattr(config, "sgm_chunk", 0))
@@ -340,14 +377,21 @@ def _sweep(
 
     def dp_line(prev, cur, b1, b2):
         cur = cur.astype(jnp.float32)
-        # truth table: both tests small -> 1, exactly one -> 1/q1,
-        # neither -> 1/q2 (reference: src/process_functional.py:497-541);
-        # written with | so the "neither" test is one op, not ~&~
-        scale = jnp.where(
-            b1[:, None] & b2,
-            1.0,
-            jnp.where(b1[:, None] | b2, inv_q1, inv_q2),
-        )
+        if scale_chunk is not None:
+            # b2 holds uint8 codes 0/1/2; identical truth table, decoded
+            code = b2
+            scale = jnp.where(
+                code == 0, 1.0, jnp.where(code == 1, inv_q1, inv_q2)
+            )
+        else:
+            # truth table: both tests small -> 1, exactly one -> 1/q1,
+            # neither -> 1/q2 (reference: src/process_functional.py:497-541);
+            # written with | so the "neither" test is one op, not ~&~
+            scale = jnp.where(
+                b1[:, None] & b2,
+                1.0,
+                jnp.where(b1[:, None] | b2, inv_q1, inv_q2),
+            )
         p1 = p1_base * scale
         p2 = p2_base * scale
         min_prev = jnp.min(prev, axis=1, keepdims=True)
@@ -364,13 +408,21 @@ def _sweep(
     def step(carry, chunk_start):
         vol, prev = carry
         cur_block = lax.dynamic_slice_in_dim(vol, chunk_start, chunk, axis=0)
-        b1_block = lax.dynamic_slice_in_dim(small_d1, chunk_start, chunk,
-                                            axis=0)
-        b2_block = b2_chunk(chunk_start, chunk)
+        if scale_chunk is not None:
+            b1_block = None
+            pen_block = scale_chunk(chunk_start, chunk)
+        else:
+            b1_block = lax.dynamic_slice_in_dim(small_d1, chunk_start, chunk,
+                                                axis=0)
+            pen_block = b2_chunk(chunk_start, chunk)
         lines = []
         for k in range(chunk):
             idx = k if forward else chunk - 1 - k
-            prev = dp_line(prev, cur_block[idx], b1_block[idx], b2_block[idx])
+            prev = dp_line(
+                prev, cur_block[idx],
+                None if b1_block is None else b1_block[idx],
+                pen_block[idx],
+            )
             lines.append(prev)
         if not forward:
             lines = lines[::-1]
@@ -392,9 +444,12 @@ def _sweep(
         else range(size - 2, size - 2 - remainder, -1)
     )
     for idx in prologue:
-        prev = dp_line(
-            prev, volume[idx], small_d1[idx], b2_chunk(idx, 1)[0]
-        )
+        if scale_chunk is not None:
+            prev = dp_line(prev, volume[idx], None, scale_chunk(idx, 1)[0])
+        else:
+            prev = dp_line(
+                prev, volume[idx], small_d1[idx], b2_chunk(idx, 1)[0]
+            )
         volume = lax.dynamic_update_index_in_dim(
             volume, prev.astype(volume.dtype), idx, axis=0
         )

@@ -79,6 +79,16 @@ def make_sharded_cbca_fn(
     plane_spec = P(axis, None)
     if impl == "fused":
         aggregate = cbca_fused
+    elif impl == "fused16":
+        aggregate = functools.partial(cbca_fused, compute_dtype=jnp.bfloat16)
+    elif impl in ("rolling", "rolling16"):
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+        aggregate = (
+            functools.partial(cbca_fused_rolling, compute_dtype=jnp.bfloat16)
+            if impl == "rolling16"
+            else cbca_fused_rolling
+        )
     elif impl == "pallas":
         from mccnn_tpu.ops.cbca_pallas import cbca_pallas as aggregate
     else:

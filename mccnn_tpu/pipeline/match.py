@@ -31,6 +31,39 @@ from mccnn_tpu.ops.wta import wta_disparity
 from mccnn_tpu.utils.config import MatchConfig
 
 
+def _cbca_aggregate(cbca_impl: str):
+    """Resolve a (resolved, non-"auto") CBCA impl name to its callable."""
+    if cbca_impl == "pallas":
+        from mccnn_tpu.ops.cbca_pallas import cbca_pallas as aggregate
+    elif cbca_impl == "mxu":
+        from mccnn_tpu.ops.cbca_mxu import cbca_mxu as aggregate
+    elif cbca_impl == "fused":
+        from mccnn_tpu.ops.cbca_fused import cbca_fused as aggregate
+    elif cbca_impl == "fused16":
+        # f32 storage between stages, bf16 phase-1 multiplies in-kernel
+        # (the mxu numerics class, without the dense HBM mask stacks)
+        import functools as _functools
+
+        from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+        aggregate = _functools.partial(cbca_fused,
+                                       compute_dtype=jnp.bfloat16)
+    elif cbca_impl == "rolling":
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling as aggregate
+    elif cbca_impl == "rolling16":
+        # rolling-row window (each volume row DMA'd once per round) with
+        # f32 storage and bf16 phase-1 multiplies — fused16's numerics
+        import functools as _functools
+
+        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
+
+        aggregate = _functools.partial(cbca_fused_rolling,
+                                       compute_dtype=jnp.bfloat16)
+    else:
+        aggregate = cbca
+    return aggregate
+
+
 def match_pair(
     params: Params,
     left_image: jax.Array,
@@ -110,34 +143,7 @@ def match_pair(
     features_right = extract_features(params, right_image, fcompute)
 
     distance = int(config.cbca_distance)
-    if cbca_impl == "pallas":
-        from mccnn_tpu.ops.cbca_pallas import cbca_pallas as aggregate
-    elif cbca_impl == "mxu":
-        from mccnn_tpu.ops.cbca_mxu import cbca_mxu as aggregate
-    elif cbca_impl == "fused":
-        from mccnn_tpu.ops.cbca_fused import cbca_fused as aggregate
-    elif cbca_impl == "fused16":
-        # f32 storage between stages, bf16 phase-1 multiplies in-kernel
-        # (the mxu numerics class, without the dense HBM mask stacks)
-        import functools as _functools
-
-        from mccnn_tpu.ops.cbca_fused import cbca_fused
-
-        aggregate = _functools.partial(cbca_fused,
-                                       compute_dtype=jnp.bfloat16)
-    elif cbca_impl == "rolling":
-        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling as aggregate
-    elif cbca_impl == "rolling16":
-        # rolling-row window (each volume row DMA'd once per round) with
-        # f32 storage and bf16 phase-1 multiplies — fused16's numerics
-        import functools as _functools
-
-        from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
-
-        aggregate = _functools.partial(cbca_fused_rolling,
-                                       compute_dtype=jnp.bfloat16)
-    else:
-        aggregate = cbca
+    aggregate = _cbca_aggregate(cbca_impl)
 
     def run_cbca(volume, arms, iterations, kwargs):
         d_pad = volume.shape[2]
@@ -289,6 +295,125 @@ def standardize_image(image: np.ndarray) -> np.ndarray:
     return (image - image.mean()) / image.std()
 
 
+def _build_staged(config: MatchConfig, ndisp: int, cost_volume_method: str,
+                  cbca_impl: str, volume_dtype: str, cbca_chunk_d: int):
+    """Ten stage-isolated jitted programs for ``MatchPipeline.stage_times``.
+
+    Same impl auto-resolution as ``match_pair``; each stage consumes and
+    extends a state dict. Stage names follow the reference's per-stage
+    prints (reference: src/match.py:126-176). Joint-region CBCA is not
+    supported in this observability mode.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    vdtype = jnp.dtype(volume_dtype)
+    method = cost_volume_method
+    if method == "auto":
+        method = "pallas" if on_tpu else "matmul"
+    impl = cbca_impl
+    if impl == "auto":
+        if not on_tpu:
+            impl = "xla"
+        else:
+            impl = "fused" if vdtype == jnp.bfloat16 else "fused16"
+    aggregate = _cbca_aggregate(impl)
+    distance = int(config.cbca_distance)
+
+    def run_cbca(volume, arms, iterations):
+        d_pad = volume.shape[2]
+        if not cbca_chunk_d or d_pad <= cbca_chunk_d:
+            return aggregate(volume, arms, iterations, distance)
+
+        def body(c, vol):
+            start = c * cbca_chunk_d
+            block = lax.dynamic_slice_in_dim(vol, start, cbca_chunk_d, axis=2)
+            block = aggregate(block, arms, iterations, distance)
+            return lax.dynamic_update_slice_in_dim(vol, block, start, axis=2)
+
+        return lax.fori_loop(0, d_pad // cbca_chunk_d, body, volume)
+
+    def features(s):
+        s = dict(s)
+        params = s.pop("params")
+        s["features_left"] = extract_features(params, s["left"])
+        s["features_right"] = extract_features(params, s["right"])
+        return s
+
+    def cost_volume(s):
+        s = dict(s)
+        lcv, rcv = cost_volume_pair(
+            s.pop("features_left"), s.pop("features_right"), ndisp,
+            method=method, dtype=vdtype,
+        )
+        s["left_volume"], s["right_volume"] = lcv, rcv
+        return s
+
+    def make_cbca(iterations):
+        def stage(s):
+            s = dict(s)
+            arms_l = compute_arms(s["left"], config.cbca_intensity, distance)
+            arms_r = compute_arms(s["right"], config.cbca_intensity, distance)
+            s["left_volume"] = run_cbca(s["left_volume"], arms_l, iterations)
+            s["right_volume"] = run_cbca(s["right_volume"], arms_r, iterations)
+            return s
+
+        return stage
+
+    def sgm_stage(s):
+        s = dict(s)
+        s["left_volume"] = _sgm_one_volume(
+            s["left_volume"], s["left"], s["right"], "L", ndisp, config)
+        s["right_volume"] = _sgm_one_volume(
+            s["right_volume"], s["left"], s["right"], "R", ndisp, config)
+        return s
+
+    def wta(s):
+        s = dict(s)
+        s["left_disparity"] = wta_disparity(s["left_volume"])
+        s["right_disparity"] = wta_disparity(s.pop("right_volume"))
+        return s
+
+    def interpolation(s):
+        s = dict(s)
+        s["disparity"] = lr_consistency_interpolate(
+            s.pop("left_disparity"), s.pop("right_disparity"), ndisp)
+        return s
+
+    def subpixel(s):
+        s = dict(s)
+        s["disparity"] = subpixel_enhance(
+            s["disparity"], s.pop("left_volume"), ndisp)
+        return s
+
+    def median(s):
+        s = dict(s)
+        s["disparity"] = median_filter(
+            s["disparity"], config.median_filter_size,
+            config.median_filter_size)
+        return s
+
+    def bilateral(s):
+        s = dict(s)
+        s["disparity"] = bilateral_filter(
+            s["left"], s["disparity"], config.bilateral_filter_size,
+            config.bilateral_filter_size, 0.0, config.blur_sigma,
+            config.blur_threshold)
+        return s
+
+    stages = [
+        ("features", features),
+        ("cost_volume", cost_volume),
+        ("cbca_1", make_cbca(config.cbca_num_iterations_1)),
+        ("sgm", sgm_stage),
+        ("cbca_2", make_cbca(config.cbca_num_iterations_2)),
+        ("wta", wta),
+        ("lr_interpolation", interpolation),
+        ("subpixel", subpixel),
+        ("median", median),
+        ("bilateral", bilateral),
+    ]
+    return [(name, jax.jit(fn)) for name, fn in stages]
+
+
 class MatchPipeline:
     """Host-facing wrapper: caches one compiled program per shape bucket.
 
@@ -333,9 +458,15 @@ class MatchPipeline:
     def _bucketed(self, size: int) -> int:
         return -(-size // self.bucket) * self.bucket
 
-    def __call__(self, left_image: np.ndarray, right_image: np.ndarray,
-                 ndisp: int) -> np.ndarray:
-        """Standardized (H, W) pair -> (H, W) disparity (host arrays)."""
+    def dispatch(self, left_image: np.ndarray, right_image: np.ndarray,
+                 ndisp: int):
+        """Async half of ``__call__``: pad, enqueue the compiled program,
+        return an opaque handle WITHOUT syncing the device.
+
+        Pair with ``fetch`` — the serve loop (cli/serve.py) dispatches
+        scene N, then writes scene N-1's artifacts and loads scene N+1
+        while N's device program runs.
+        """
         height, width = left_image.shape
         pad_h = self._bucketed(height) - height
         pad_w = self._bucketed(width) - width
@@ -348,4 +479,64 @@ class MatchPipeline:
             left, right = left_image, right_image
         fn = self._get_fn(left.shape[0], left.shape[1], ndisp)
         out = fn(self.params, jnp.asarray(left), jnp.asarray(right))
+        return out, (height, width)
+
+    @staticmethod
+    def fetch(handle) -> np.ndarray:
+        """Sync half of ``__call__``: block on the device result, crop."""
+        out, (height, width) = handle
         return np.asarray(out)[:height, :width]
+
+    def __call__(self, left_image: np.ndarray, right_image: np.ndarray,
+                 ndisp: int) -> np.ndarray:
+        """Standardized (H, W) pair -> (H, W) disparity (host arrays)."""
+        return self.fetch(self.dispatch(left_image, right_image, ndisp))
+
+    def stage_times(self, left_image: np.ndarray, right_image: np.ndarray,
+                    ndisp: int):
+        """Observability mode (cli/match.py --stage_times): run the
+        pipeline as ten stage-isolated programs with a host sync after
+        each, returning ``(disparity, {stage: seconds})``.
+
+        Mirrors the reference's per-stage wall-clock prints
+        (reference: src/match.py:126-176). Real data flows stage to stage
+        (not isolated probes), but cross-stage fusion, buffer donation and
+        the sequential-volume schedule are lost — expect it slower than
+        ``__call__`` and avoid at full-res (both volumes live at once).
+        """
+        import time as _time
+
+        height, width = left_image.shape
+        pad_h = self._bucketed(height) - height
+        pad_w = self._bucketed(width) - width
+        if pad_h or pad_w:
+            left = np.pad(left_image, ((0, pad_h), (0, pad_w)), mode="edge")
+            right = np.pad(right_image, ((0, pad_h), (0, pad_w)), mode="edge")
+        else:
+            left, right = left_image, right_image
+        key = ("staged", left.shape[0], left.shape[1], ndisp)
+        if key not in self._compiled:
+            self._compiled[key] = _build_staged(
+                self.config, ndisp, self.cost_volume_method, self.cbca_impl,
+                self.volume_dtype, self.cbca_chunk_d,
+            )
+        stages = self._compiled[key]
+
+        state = {
+            "params": self.params,
+            "left": jnp.asarray(left),
+            "right": jnp.asarray(right),
+        }
+        times = {}
+        for name, fn in stages:
+            t0 = _time.time()
+            state = fn(state)
+            # block_until_ready is a no-op on the tunneled platform; a
+            # scalar fetch of one output leaf is the reliable sync
+            leaf = state["disparity"] if "disparity" in state else (
+                state.get("left_volume", state.get("features_left"))
+            )
+            np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+            times[name] = _time.time() - t0
+        disparity = np.asarray(state["disparity"])[:height, :width]
+        return disparity, times

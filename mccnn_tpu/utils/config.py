@@ -62,6 +62,12 @@ class MatchConfig:
     # stack outgrows VMEM). 0 = auto: 16 below a 32 MB chunk-16 line
     # stack, 8 above (ops/sgm.py::_sweep)
     sgm_chunk: int = 0
+    # perf knob (semantics-neutral, bit-identical predicate): precompute
+    # one uint8 penalty-code volume per sweep instead of slicing b1/b2
+    # bits in-scan (ops/sgm.py::_directional_sweep). Measured neutral on
+    # v5e (the sweep is VPU-pass bound; see _sweep's docstring) — off by
+    # default.
+    sgm_u8: bool = False
     # the paper's disparity-conditioned joint-region CBCA (present but
     # disabled in the reference, src/process_functional.py:122-144,661-729);
     # see ops/cbca_joint.py for the semantics and documented deviations

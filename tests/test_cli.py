@@ -69,6 +69,74 @@ def test_match_cli_end_to_end(tmp_path, rng):
     assert float((res_dir / "timeMCCNN.txt").read_text()) > 0
 
 
+def test_match_cli_stage_times(tmp_path, rng, capsys):
+    """--stage_times prints per-stage wall-clock (the reference's per-stage
+    observability contract, reference: src/match.py:126-176) and produces
+    the same artifacts."""
+    import jax
+
+    from mccnn_tpu.cli.match import main
+
+    data_dir = tmp_path / "data"
+    _write_scene(data_dir / "sceneA", rng)
+    list_file = tmp_path / "list.txt"
+    list_file.write_text(f"{data_dir}/sceneA/im0.png\n")
+    weights = tmp_path / "weights.npz"
+    save_params(init_params(jax.random.key(0)), str(weights))
+    save_dir = tmp_path / "out"
+
+    main([
+        "--list_file", str(list_file),
+        "--resume", str(weights),
+        "--data_dir", str(data_dir),
+        "--save_dir", str(save_dir),
+        "--tag", "t0",
+        "--start", "0",
+        "--end", "0",
+        "--cbca_distance", "3",
+        "--cbca_num_iterations1", "1",
+        "--cbca_num_iterations2", "1",
+        "--bucket", "8",
+        "--stage_times",
+    ])
+
+    printed = capsys.readouterr().out
+    for stage in ("features", "cost_volume", "cbca_1", "sgm", "cbca_2",
+                  "wta", "lr_interpolation", "subpixel", "median",
+                  "bilateral"):
+        assert stage in printed
+    res_dir = save_dir / "submit_t0" / "sceneA"
+    disparity = read_pfm(str(res_dir / "disp0MCCNN.pfm"))
+    assert disparity.shape == (24, 40)
+    assert np.isfinite(disparity).all()
+
+
+def test_pipeline_stage_times_matches_fused(rng):
+    """The staged observability path computes the same disparity as the
+    single fused program (same ops, same order — only program boundaries
+    differ)."""
+    import jax
+
+    from mccnn_tpu.pipeline.match import MatchPipeline, standardize_image
+    from mccnn_tpu.utils.config import MatchConfig
+
+    height, width, ndisp = 28, 44, 8
+    base = rng.normal(size=(height, width)).astype(np.float32)
+    left = standardize_image(base)
+    right = standardize_image(np.roll(base, -2, axis=1))
+    config = MatchConfig(cbca_distance=3, cbca_num_iterations_1=1,
+                         cbca_num_iterations_2=1)
+    params = init_params(jax.random.key(0))
+    pipeline = MatchPipeline(params, config, bucket=4)
+
+    fused = pipeline(left, right, ndisp)
+    staged, times = pipeline.stage_times(left, right, ndisp)
+    assert set(times) == {"features", "cost_volume", "cbca_1", "sgm",
+                          "cbca_2", "wta", "lr_interpolation", "subpixel",
+                          "median", "bilateral"}
+    np.testing.assert_allclose(staged, fused, rtol=1e-5, atol=1e-4)
+
+
 def test_train_cli_end_to_end(tmp_path, rng):
     from mccnn_tpu.cli.train import main
 

@@ -160,12 +160,18 @@ def test_cbca_fused_mixed_precision_matches_f32_within_tolerance(rng):
     assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
 
 
-@pytest.mark.parametrize("iterations,dist", [(1, 14), (2, 4)])
-def test_cbca_rolling_matches_xla(rng, iterations, dist):
+@pytest.mark.parametrize(
+    "iterations,dist,tile_h",
+    [(1, 14, 32), (2, 4, 32), (1, 14, 64)],
+)
+def test_cbca_rolling_matches_xla(rng, iterations, dist, tile_h):
     """Rolling-row fused CBCA == exact stencil up to f32 accumulation order.
 
     Non-multiple-of-tile H/W so the padded pair-block tail (zero-arm rows,
-    gated subC/subD DMAs) and clamped column tiles are exercised.
+    gated subC/subD DMAs) and clamped column tiles are exercised. tile_h=64
+    makes H=100 pad to one 128-row pair-block where the zeroed ring gap
+    [TH+SUB, ring-HALO) is non-empty (at tile_h=32 that gap is empty and
+    the widened-zeroing path never runs).
     """
     from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
 
@@ -179,13 +185,14 @@ def test_cbca_rolling_matches_xla(rng, iterations, dist):
     expected = np.asarray(cbca(jnp.asarray(volume), arms, iterations, dist))
     ours = np.asarray(
         cbca_fused_rolling(jnp.asarray(volume), arms, iterations, dist,
-                           interpret=True, tile_h=32)
+                           interpret=True, tile_h=tile_h)
     )
     assert ours.shape == volume.shape
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
 
 
-def test_cbca_rolling_bf16_matches_f32_within_tolerance(rng):
+@pytest.mark.parametrize("tile_h", [32, 64])
+def test_cbca_rolling_bf16_matches_f32_within_tolerance(rng, tile_h):
     from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
 
     height, width, ndisp = 100, 150, 5
@@ -199,7 +206,7 @@ def test_cbca_rolling_bf16_matches_f32_within_tolerance(rng):
     fast = np.asarray(
         cbca_fused_rolling(
             jnp.asarray(volume).astype(jnp.bfloat16), arms, 2, 14,
-            interpret=True, tile_h=32,
+            interpret=True, tile_h=tile_h,
         )
     ).astype(np.float32)
     np.testing.assert_allclose(

@@ -111,6 +111,44 @@ def test_sharded_volumes_exact_at_ci_scale(rng):
         np.testing.assert_allclose(b, a, atol=tol, rtol=1e-6, err_msg=key)
 
 
+def test_sharded_pallas_path_volumes_at_ci_scale(rng):
+    """The PRODUCTION sharded path (shard_map-wrapped Pallas band kernel +
+    fused CBCA — make_sharded_match's defaults) at a shape with real
+    distance-14 crosses and ndisp 128, against the unsharded exact XLA
+    pipeline. Round-3 review: this path was only equality-tested end to
+    end at 16x24/ndisp-4; here each of the 4 shards is 32 rows, so the
+    radius-13 ppermute halo exchange and per-shard kernel tiling are all
+    non-degenerate (interpret-mode Pallas on CPU). The full-scale variant
+    lives in tools/multichip_midscale.py --impl pallas."""
+    from mccnn_tpu.utils.scenes import scene_pair
+
+    mesh = make_mesh(4)
+    params = init_params(jax.random.key(2))
+    height, width, ndisp = 128, 256, 128
+    left, right, _, _, _ = scene_pair(
+        "occlusion", np.random.default_rng(3), height, width, max_disparity=20
+    )
+    config = MatchConfig(cbca_num_iterations_1=1, cbca_num_iterations_2=1)
+
+    plain = jax.jit(
+        lambda p, l, r: match_pair(
+            p, l, r, ndisp, config, cost_volume_method="matmul",
+            cbca_impl="xla", return_volumes=True,
+        )
+    )(params, jnp.asarray(left), jnp.asarray(right))
+    sharded_fn = make_sharded_match(
+        ndisp, config, mesh, cost_volume_method="pallas", cbca_impl="fused",
+        return_volumes=True,
+    )
+    sharded = sharded_fn(params, jnp.asarray(left), jnp.asarray(right))
+
+    for key, tol in (("left_volume", 1e-4), ("right_volume", 1e-4),
+                     ("left_disparity", 0.0), ("right_disparity", 0.0),
+                     ("disparity", 1e-5)):
+        a, b = np.asarray(plain[key]), np.asarray(sharded[key])
+        np.testing.assert_allclose(b, a, atol=tol, rtol=1e-6, err_msg=key)
+
+
 def test_shard_map_pallas_cbca_matches_unsharded_kernel(rng):
     """The shard_map fused-CBCA hook must equal the single-device kernel
     at a size where the kernel path (not the tiny-shape fallback) runs."""

@@ -74,7 +74,7 @@ def main():
                       f"mean {diff.mean():.3e}", flush=True)
             continue
         for chunk in chunks:
-            config = MatchConfig(sgm_chunk=chunk)
+            config = MatchConfig(sgm_chunk=chunk, sgm_u8=(impl == "u8"))
             fn = jax.jit(
                 lambda v, li, ri: _sgm_one_volume(v, li, ri, "L", ndisp,
                                                   config)
@@ -86,8 +86,17 @@ def main():
                 out = fn(vol, limg, rimg)
             np.asarray(sync(out))
             dt = (time.time() - t0) / iters * 1e3
-            print(f"chunk {chunk:3d}: {dt:8.1f} ms / 4-sweep volume "
+            print(f"{impl} chunk {chunk:3d}: {dt:8.1f} ms / 4-sweep volume "
                   f"({dt / 4:6.1f} ms/sweep)", flush=True)
+            if impl == "u8" and os.environ.get("CHECK"):
+                ref = jax.jit(lambda v, li, ri: _sgm_one_volume(
+                    v, li, ri, "L", ndisp,
+                    MatchConfig(sgm_chunk=chunk)))(vol, limg, rimg)
+                diff = np.abs(
+                    np.asarray(ref.astype(jnp.float32))
+                    - np.asarray(out.astype(jnp.float32))
+                )[:, :, :ndisp]
+                print(f"u8 vs xla: max abs diff {diff.max():.3e}", flush=True)
 
 
 if __name__ == "__main__":

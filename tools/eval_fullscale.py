@@ -45,6 +45,15 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=1504)
     parser.add_argument("--max-disparity", type=int, default=160)
     parser.add_argument("--families", type=str, default=",".join(FAMILIES))
+    parser.add_argument("--weights", type=str, default=REFERENCE_CKPT,
+                        help="any load_any-supported weights (default: the "
+                        "reference's shipped model_epoch2000 checkpoint); "
+                        "tools/train_fullscale.py points this at its own "
+                        "trained .npz for the self-trained-vs-shipped table")
+    parser.add_argument("--no-exact-crosscheck", action="store_true")
+    parser.add_argument("--noise", type=float, default=0.0,
+                        help="gaussian image noise added to the eval scenes "
+                        "(matching train_fullscale's training distribution)")
     args = parser.parse_args()
 
     import jax
@@ -58,8 +67,9 @@ def main() -> None:
     from mccnn_tpu.utils.scenes import scene_pair
 
     try:
-        params = load_any(REFERENCE_CKPT)
-        weights = "reference model_epoch2000"
+        params = load_any(args.weights)
+        weights = ("reference model_epoch2000"
+                   if args.weights == REFERENCE_CKPT else args.weights)
     except Exception as exc:  # TF missing / ckpt unreadable
         params = init_params(jax.random.key(0))
         weights = f"random init ({type(exc).__name__})"
@@ -89,6 +99,11 @@ def main() -> None:
             max_disparity=args.max_disparity,
         )
         assert scene_ndisp <= ndisp, (scene_ndisp, ndisp)
+        if args.noise:
+            left = (left + args.noise * rng.normal(size=left.shape)
+                    ).astype(np.float32)
+            right = (right + args.noise * rng.normal(size=right.shape)
+                     ).astype(np.float32)
         gt_eval = gt.copy()
         gt_eval[occluded] = np.inf
         lj, rj = jnp.asarray(left), jnp.asarray(right)
@@ -102,7 +117,7 @@ def main() -> None:
               f"bad1 {m['bad_1.0']:.4f}  avg {m['avg_err']:.3f}  "
               f"({elapsed:.1f}s incl. any compile)", flush=True)
 
-        if i == 0:
+        if i == 0 and not args.no_exact_crosscheck:
             start = time.time()
             dexact = np.asarray(exact(lj, rj))
             elapsed = time.time() - start

@@ -40,6 +40,13 @@ def main() -> int:
     parser.add_argument("--width", type=int, default=768)
     parser.add_argument("--ndisp", type=int, default=128)
     parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--impl", choices=("xla", "pallas"), default="xla",
+                        help="'pallas' runs the PRODUCTION sharded path "
+                        "(shard_map-wrapped band kernel + fused CBCA, "
+                        "make_sharded_match's defaults) in interpret mode "
+                        "on the CPU mesh and APPENDS its table to the "
+                        "evidence log; 'xla' (default) runs the GSPMD "
+                        "fallback and rewrites the log")
     parser.add_argument("--out", default=os.path.join(REPO, "MULTICHIP_MIDSCALE.md"))
     args = parser.parse_args()
 
@@ -84,23 +91,41 @@ def main() -> int:
     print(f"unsharded: {t_plain:.1f}s", flush=True)
 
     mesh = make_mesh(args.devices)
+    cv_method = "pallas" if args.impl == "pallas" else "matmul"
+    cbca_impl = "fused" if args.impl == "pallas" else "xla"
     t0 = time.time()
     sharded_fn = make_sharded_match(
-        args.ndisp, config, mesh, cost_volume_method="matmul",
-        cbca_impl="xla", return_volumes=True,
+        args.ndisp, config, mesh, cost_volume_method=cv_method,
+        cbca_impl=cbca_impl, return_volumes=True,
     )
     sharded = sharded_fn(params, left, right)
     sharded = {k: np.asarray(v) for k, v in sharded.items()}
     t_shard = time.time() - t0
-    print(f"sharded ({args.devices}-device mesh): {t_shard:.1f}s", flush=True)
+    print(f"sharded ({args.devices}-device mesh, {args.impl}): "
+          f"{t_shard:.1f}s", flush=True)
 
-    lines = [
-        "# Multi-chip mid-scale evidence (sharded == unsharded)",
-        "",
-        f"Generated by tools/multichip_midscale.py on a {args.devices}-device",
-        f"CPU mesh at {args.height}x{args.width} / ndisp {args.ndisp}, f32,",
-        "GSPMD row-sharded volumes (cbca_impl=xla, cost_volume_method=matmul),",
-        "cbca_distance 14, occlusion-family synthetic scene.",
+    if args.impl == "pallas":
+        header = [
+            "",
+            "## Production Pallas path (shard_map band kernel + fused CBCA)",
+            "",
+            f"Same comparison at {args.height}x{args.width} / ndisp "
+            f"{args.ndisp}, f32, {args.devices}-device CPU mesh —",
+            "make_sharded_match's DEFAULT path (cost_volume_method=pallas,",
+            "cbca_impl=fused; interpret-mode kernels, radius-13 ppermute",
+            "halo exchange per CBCA round) vs the unsharded exact XLA",
+            "pipeline.",
+        ]
+    else:
+        header = [
+            "# Multi-chip mid-scale evidence (sharded == unsharded)",
+            "",
+            f"Generated by tools/multichip_midscale.py on a {args.devices}-device",
+            f"CPU mesh at {args.height}x{args.width} / ndisp {args.ndisp}, f32,",
+            "GSPMD row-sharded volumes (cbca_impl=xla, cost_volume_method=matmul),",
+            "cbca_distance 14, occlusion-family synthetic scene.",
+        ]
+    lines = header + [
         "",
         "| tensor | max abs diff | exact-equal fraction |",
         "|---|---|---|",
@@ -137,7 +162,8 @@ def main() -> int:
         f"Result: {'ALL OK' if ok else 'MISMATCH FOUND'}.",
         "",
     ]
-    with open(args.out, "w") as f:
+    mode = "a" if args.impl == "pallas" else "w"
+    with open(args.out, mode) as f:
         f.write("\n".join(lines))
     print(("ALL OK" if ok else "MISMATCH FOUND") + f" -> {args.out}",
           flush=True)

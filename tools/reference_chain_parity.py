@@ -13,12 +13,15 @@ and diffs the FINAL disparity map against our jitted
 ``match_pair(..., cbca_impl="xla", cost_volume_method="rolldot")`` exact
 mode fed the same features.
 
-Both sides consume identical feature maps (our net, random init — feature
+Both sides consume identical feature maps (our net, by default loaded from
+the reference's shipped model_epoch2000.ckpt — the reference only ever runs
+with a trained checkpoint, src/process_functional.py:42-43; feature
 extraction itself is pinned to real TF in tests/test_tf_parity.py), so any
 disagreement is pipeline semantics, not the CNN. Runtime is minutes (the
 reference is per-pixel Python); result recorded in PARITY.md.
 
     python tools/reference_chain_parity.py [--height 48 --width 64]
+                                           [--weights trained|random]
 """
 
 from __future__ import annotations
@@ -43,6 +46,14 @@ def main() -> int:
     parser.add_argument("--width", type=int, default=64)
     parser.add_argument("--ndisp", type=int, default=12)
     parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument(
+        "--weights", choices=("trained", "random"), default="trained",
+        help="'trained' loads the reference's shipped model_epoch2000.ckpt "
+        "(reference restore is mandatory: src/process_functional.py:42-43, "
+        "src/match.py:21-22 — trained features produce the realistic cost "
+        "distributions that stress SGM penalties and CBCA averaging); "
+        "falls back to random init when TF is absent.",
+    )
     args = parser.parse_args()
 
     import jax
@@ -55,6 +66,27 @@ def main() -> int:
     from mccnn_tpu.utils.config import MatchConfig
     from mccnn_tpu.utils.scenes import scene_pair
 
+    # Load trained weights BEFORE load_reference(): the reference loader
+    # stubs `tensorflow` in sys.modules, which would shadow the real TF
+    # checkpoint reader that load_any needs.
+    weights_used = "random init"
+    params = None
+    if args.weights == "trained":
+        try:
+            from mccnn_tpu.models.params import load_any
+
+            params = load_any(
+                "/root/reference/data/tensorboard_log/model_epoch2000.ckpt"
+            )
+            weights_used = "reference model_epoch2000"
+        except Exception as exc:  # TF missing / ckpt unreadable
+            print(f"trained weights unavailable ({type(exc).__name__}: "
+                  f"{str(exc)[:120]}); falling back to random init",
+                  flush=True)
+    if params is None:
+        params = init_params(jax.random.key(0))
+    print(f"feature weights: {weights_used}", flush=True)
+
     ref = load_reference()
     rng = np.random.default_rng(args.seed)
     left, right, _, _, _ = scene_pair(
@@ -62,8 +94,6 @@ def main() -> int:
         max_disparity=args.ndisp - 3,
     )
     ndisp = args.ndisp
-
-    params = init_params(jax.random.key(0))
     feat = jax.jit(extract_features)
     feat_l = np.asarray(feat(params, jnp.asarray(left)))
     feat_r = np.asarray(feat(params, jnp.asarray(right)))
@@ -115,8 +145,9 @@ def main() -> int:
     mismatched = int((diff > 1e-3).sum())
     print(
         f"final disparity vs executed reference ({args.height}x{args.width}"
-        f"/ndisp-{ndisp}, paper defaults): max abs diff {max_diff:.3e}, "
-        f"mean {mean_diff:.3e}, pixels >1e-3: {mismatched}/{diff.size}",
+        f"/ndisp-{ndisp}, paper defaults, {weights_used}): max abs diff "
+        f"{max_diff:.3e}, mean {mean_diff:.3e}, pixels >1e-3: "
+        f"{mismatched}/{diff.size}",
         flush=True,
     )
     ok = max_diff <= 1e-3
