@@ -77,10 +77,22 @@ def make_sharded_cbca_fn(
     radius = distance_threshold - 1
     vol_spec = P(axis, None, None)
     plane_spec = P(axis, None)
+    rounds_per_pass = 1
     if impl == "fused":
         aggregate = cbca_fused
     elif impl == "fused16":
         aggregate = functools.partial(cbca_fused, compute_dtype=jnp.bfloat16)
+    elif impl in ("fused2", "fused2_16"):
+        # two rounds per exchanged-halo pass: the halo is 2*radius and the
+        # kernel computes round k+1 from round k in VMEM (ops/cbca_fused2)
+        from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two
+
+        aggregate = (
+            functools.partial(cbca_fused_two, compute_dtype=jnp.bfloat16)
+            if impl == "fused2_16"
+            else cbca_fused_two
+        )
+        rounds_per_pass = 2
     elif impl in ("rolling", "rolling16"):
         from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
 
@@ -97,12 +109,14 @@ def make_sharded_cbca_fn(
     def fn(volume, arms: CrossArms, num_iterations: int):
         if num_iterations == 0:
             return volume
+        halo = radius * rounds_per_pass
+        n_passes, rem = divmod(num_iterations, rounds_per_pass)
         num_shards = mesh.shape[axis]
         height = volume.shape[0]
-        if height % num_shards or (height // num_shards) < radius:
+        if height % num_shards or (height // num_shards) < halo:
             raise ValueError(
                 f"H={height} must divide over {num_shards} shards with "
-                f"shard height >= the halo radius {radius}"
+                f"shard height >= the halo {halo}"
             )
 
         @functools.partial(
@@ -114,18 +128,30 @@ def make_sharded_cbca_fn(
         )
         def run(vol, arm_l, arm_r, arm_u, arm_d):
             arms_h = CrossArms(
-                up=_exchange_halo(arm_u, radius, axis),
-                down=_exchange_halo(arm_d, radius, axis),
-                left=_exchange_halo(arm_l, radius, axis),
-                right=_exchange_halo(arm_r, radius, axis),
+                up=_exchange_halo(arm_u, halo, axis),
+                down=_exchange_halo(arm_d, halo, axis),
+                left=_exchange_halo(arm_l, halo, axis),
+                right=_exchange_halo(arm_r, halo, axis),
             )
 
-            def one_round(_, v):
-                v_h = _exchange_halo(v, radius, axis)
-                out = aggregate(v_h, arms_h, 1, distance_threshold)
-                return out[radius:-radius]
+            def one_pass(_, v):
+                v_h = _exchange_halo(v, halo, axis)
+                out = aggregate(v_h, arms_h, rounds_per_pass,
+                                distance_threshold)
+                return out[halo:-halo]
 
-            return lax.fori_loop(0, num_iterations, one_round, vol)
+            vol = lax.fori_loop(0, n_passes, one_pass, vol)
+            if rem:
+                # remainder rounds use a radius*rem halo; re-slice the
+                # arm planes to the matching extension
+                trim = halo - radius * rem
+                arms_r = CrossArms(
+                    *(p[trim:-trim] if trim else p for p in arms_h)
+                )
+                v_h = _exchange_halo(vol, radius * rem, axis)
+                out = aggregate(v_h, arms_r, rem, distance_threshold)
+                vol = out[radius * rem:-radius * rem]
+            return vol
 
         return run(volume, arms.left, arms.right, arms.up, arms.down)
 

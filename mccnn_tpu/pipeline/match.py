@@ -48,6 +48,18 @@ def _cbca_aggregate(cbca_impl: str):
 
         aggregate = _functools.partial(cbca_fused,
                                        compute_dtype=jnp.bfloat16)
+    elif cbca_impl == "fused2":
+        # two rounds per HBM pass: -30% volume traffic on the DMA-bound
+        # round at +57% MACs (ops/cbca_fused2.py)
+        from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two as aggregate
+    elif cbca_impl == "fused2_16":
+        # two-round passes with f32 storage and bf16 multiplies
+        import functools as _functools
+
+        from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two
+
+        aggregate = _functools.partial(cbca_fused_two,
+                                       compute_dtype=jnp.bfloat16)
     elif cbca_impl == "rolling":
         from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling as aggregate
     elif cbca_impl == "rolling16":

@@ -245,3 +245,74 @@ def test_cbca_fused_tiny_shape_falls_back_to_xla(rng):
     expected = np.asarray(cbca(jnp.asarray(volume), arms, 2, 4))
     ours = np.asarray(cbca_fused(jnp.asarray(volume), arms, 2, 4, interpret=True))
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "iterations,dist,tile_h",
+    [(2, 14, 64), (2, 14, 32), (4, 4, 64), (3, 14, 64)],
+)
+def test_cbca_fused_two_matches_xla(rng, iterations, dist, tile_h):
+    """Two-round fused CBCA == exact stencil up to f32 accumulation order.
+
+    Non-multiple-of-tile H/W exercise the clamped double-halo windows and
+    the virtual intermediate rows/cols of the border tiles; odd iteration
+    counts exercise the single-round remainder path. (Pad-lane BIG_COST
+    fibers aggregate ~1e9-magnitude sums whose f32 ulp is ~128 — compare
+    them relatively, not absolutely.)
+    """
+    from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two
+
+    height, width, ndisp = 100, 300, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, dist)
+
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, iterations, dist))
+    ours = np.asarray(
+        cbca_fused_two(jnp.asarray(volume), arms, iterations, dist,
+                       interpret=True, tile_h=tile_h)
+    )
+    assert ours.shape == volume.shape
+    np.testing.assert_allclose(ours, expected, rtol=2e-5, atol=1e-4)
+
+
+def test_cbca_fused_two_bf16_matches_f32_within_tolerance(rng):
+    from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two
+
+    height, width, ndisp = 100, 300, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 14)
+
+    exact = np.asarray(cbca(jnp.asarray(volume), arms, 2, 14))
+    fast = np.asarray(
+        cbca_fused_two(
+            jnp.asarray(volume).astype(jnp.bfloat16), arms, 2, 14,
+            interpret=True,
+        )
+    ).astype(np.float32)
+    np.testing.assert_allclose(
+        fast[:, :, :ndisp], exact[:, :, :ndisp], rtol=0.05, atol=0.05
+    )
+    assert np.all(fast[:, :, ndisp:] > 0.5 * BIG_COST)
+
+
+def test_cbca_fused_two_narrow_width_falls_back(rng):
+    from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two
+
+    height, width, ndisp = 40, 30, 5
+    d_pad = 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 4)
+
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, 2, 4))
+    ours = np.asarray(
+        cbca_fused_two(jnp.asarray(volume), arms, 2, 4, interpret=True)
+    )
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)

@@ -79,6 +79,44 @@ def main():
         timed(jax.jit(lambda v, a: cbca_fused(
             v, a, n, 14, compute_dtype=jnp.bfloat16, **kw)), vol, arms,
               label=f"cbca fused mixed th{tile_h} tw{tile_w} td{tile_d} ob{out_bufs} x{n}")
+    if "fused2" in variants or "fused2_16" in variants:
+        from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two
+
+        f2kw = dict(tile_h=tile_h, tile_w=tile_w, tile_d=tile_d,
+                    out_bufs=out_bufs)
+        if "P2PREC" in os.environ:
+            f2kw["phase2_precision"] = os.environ["P2PREC"]
+        if "fused2" in variants:
+            timed(jax.jit(lambda v, a: cbca_fused_two(v, a, n, 14, **f2kw)),
+                  vol, arms,
+                  label=f"cbca fused2 f32 th{tile_h} tw{tile_w} td{tile_d} x{n}")
+        if "fused2_16" in variants:
+            vol16 = vol.astype(jnp.bfloat16)
+            timed(jax.jit(lambda v, a: cbca_fused_two(v, a, n, 14, **f2kw)),
+                  vol16, arms,
+                  label=f"cbca fused2 bf16 th{tile_h} tw{tile_w} td{tile_d} x{n}")
+    if "checkfused2" in variants:
+        from mccnn_tpu.ops.cbca_fused2 import cbca_fused_two
+
+        f2kw = dict(tile_h=tile_h, tile_w=tile_w, tile_d=tile_d)
+        ref = np.asarray(jax.jit(lambda v, a: cbca(v, a, 2, 14))(vol, arms))
+        got = np.asarray(jax.jit(
+            lambda v, a: cbca_fused_two(v, a, 2, 14, **f2kw))(vol, arms))
+        diff = np.abs(got - ref)
+        rel = diff / (np.abs(ref) + 1.0)
+        print(f"fused2-vs-xla f32 (2 rounds): max abs {diff.max():.3e} "
+              f"max rel(+1) {rel.max():.3e}", flush=True)
+        vol16 = vol.astype(jnp.bfloat16)
+        refq = np.asarray(jax.jit(
+            lambda v, a: cbca(v.astype(jnp.float32), a, 2, 14))(vol16, arms))
+        got16 = np.asarray(jax.jit(
+            lambda v, a: cbca_fused_two(v, a, 2, 14, **f2kw))(vol16, arms)
+        ).astype(np.float32)
+        diff = np.abs(got16 - refq)
+        print(
+            f"fused2 bf16 abs diff vs xla(quantized input): max "
+            f"{diff.max():.3e} p99.9 {np.percentile(diff, 99.9):.3e} "
+            f"mean {diff.mean():.3e}", flush=True)
     if "rolling" in variants or "rolling16" in variants:
         from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
 
