@@ -28,13 +28,62 @@ def save_params(params: Params, path: str) -> None:
 
 
 def load_params(path: str) -> Params:
-    """Load a params pytree from ``save_params`` output."""
+    """Load a params pytree from any of our npz layouts.
+
+    Three on-disk layouts map to the same pytree: ``save_params`` output
+    (``conv{i}/w`` keys), training checkpoints from
+    ``utils.checkpoint.save_checkpoint`` (``params:conv{i}/w`` keys plus
+    ``opt_leaf_{i}`` momentum slots, which are ignored here), and legacy
+    flat training snapshots (anonymous ``leaf_{i}`` keys — the momentum
+    half mirrors the params half shape-for-shape, so the params are the
+    second half; biases are 1-D, kernels 4-D, in sorted layer order).
+    """
     with np.load(path) as data:
         params: Params = {}
-        for key in data.files:
-            name, _, kind = key.partition("/")
-            params.setdefault(name, {})[kind] = np.asarray(data[key])
+        if any(k.startswith("params:") for k in data.files):
+            for key in data.files:
+                if not key.startswith("params:"):
+                    continue
+                name, _, kind = key[len("params:"):].partition("/")
+                params.setdefault(name, {})[kind] = np.asarray(data[key])
+        elif any(k.startswith("leaf_") for k in data.files):
+            params = _params_from_legacy_leaves(data)
+        else:
+            for key in data.files:
+                name, _, kind = key.partition("/")
+                params.setdefault(name, {})[kind] = np.asarray(data[key])
     _validate(params)
+    return params
+
+
+def _params_from_legacy_leaves(data) -> Params:
+    """Reconstruct params from a legacy flat ``leaf_{i}`` training snapshot.
+
+    The legacy writer flattened ``{"opt_state": ..., "params": ...}``
+    (dict keys in sorted order, so momentum leaves come FIRST and mirror
+    the params leaves shape-for-shape) or just ``{"params": ...}``. Params
+    flatten as (b, w) pairs per layer in sorted layer-name order.
+    """
+    n = int(data["num_leaves"]) if "num_leaves" in data.files else len(
+        [k for k in data.files if k.startswith("leaf_")]
+    )
+    leaves = [np.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    half = n // 2
+    if n % 2 == 0 and half > 0 and all(
+        leaves[i].shape == leaves[half + i].shape for i in range(half)
+    ):
+        leaves = leaves[half:]  # drop the momentum mirror
+    if len(leaves) % 2:
+        raise ValueError(f"cannot split {len(leaves)} leaves into (b, w) pairs")
+    params: Params = {}
+    for i in range(0, len(leaves), 2):
+        b, w = leaves[i], leaves[i + 1]
+        if b.ndim != 1 or w.ndim != 4:
+            raise ValueError(
+                f"legacy leaf pair {i // 2} has shapes {b.shape}/{w.shape}, "
+                "expected 1-D bias + 4-D kernel"
+            )
+        params[f"conv{i // 2 + 1}"] = {"b": b, "w": w}
     return params
 
 

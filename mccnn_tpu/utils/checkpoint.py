@@ -30,14 +30,23 @@ def save_checkpoint(
     opt_state: Any = None,
     max_to_keep: int = 10,
 ) -> str:
-    """Snapshot the (params, opt_state) pytrees; prune old checkpoints."""
+    """Snapshot the (params, opt_state) pytrees; prune old checkpoints.
+
+    Params are stored under NAMED keys (``params:conv{i}/w`` etc.) so a
+    training checkpoint is directly loadable by ``models.params.load_any``
+    (match/serve/eval take ``--resume model_epochN.npz``); momentum slots
+    are stored as flattened ``opt_leaf_{i}`` entries for exact resume.
+    """
     os.makedirs(directory, exist_ok=True)
-    state = {"params": params}
+    payload = {}
+    for name, layer in params.items():
+        for kind, value in layer.items():
+            payload[f"params:{name}/{kind}"] = np.asarray(value)
     if opt_state is not None:
-        state["opt_state"] = opt_state
-    leaves, _ = jax.tree.flatten(state)
-    payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    payload["num_leaves"] = np.asarray(len(leaves))
+        leaves, _ = jax.tree.flatten(opt_state)
+        for i, leaf in enumerate(leaves):
+            payload[f"opt_leaf_{i}"] = np.asarray(leaf)
+        payload["num_opt_leaves"] = np.asarray(len(leaves))
     path = checkpoint_path(directory, epoch)
     np.savez(path, **payload)
     _prune(directory, max_to_keep)
@@ -76,10 +85,35 @@ def epoch_of(path: str) -> int:
 
 
 def load_checkpoint(path: str, like: Any) -> Any:
-    """Restore a pytree snapshot into the structure of ``like``."""
+    """Restore a pytree snapshot into the structure of ``like``.
+
+    ``like`` is the ``{"params": ..., "opt_state": ...}`` state template
+    (opt_state optional). Reads both the named format written by
+    ``save_checkpoint`` and the legacy all-``leaf_{i}`` flat format.
+    """
     leaves, treedef = jax.tree.flatten(like)
     with np.load(path) as data:
-        restored = [np.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+        if any(k.startswith("params:") for k in data.files):
+            state = dict(like)
+            params: Any = {}
+            for key in data.files:
+                if not key.startswith("params:"):
+                    continue
+                name, _, kind = key[len("params:"):].partition("/")
+                params.setdefault(name, {})[kind] = np.asarray(data[key])
+            state["params"] = params
+            if "opt_state" in state and state["opt_state"] is not None:
+                opt_leaves, opt_def = jax.tree.flatten(state["opt_state"])
+                restored_opt = [
+                    np.asarray(data[f"opt_leaf_{i}"])
+                    for i in range(len(opt_leaves))
+                ]
+                state["opt_state"] = jax.tree.unflatten(opt_def, restored_opt)
+            restored = jax.tree.flatten(state)[0]
+        else:  # legacy: one flat leaf list over the whole state dict
+            restored = [
+                np.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))
+            ]
     for old, new in zip(leaves, restored):
         if np.shape(old) != np.shape(new):
             raise ValueError(

@@ -95,6 +95,36 @@ def test_checkpoint_round_trip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_training_checkpoint_loads_as_weights(tmp_path, rng):
+    """A model_epochN.npz from save_checkpoint must load via load_any —
+    match/serve/eval take --resume <training checkpoint> directly. This
+    covers both the named params: format and the legacy flat leaf_{i}
+    snapshots (whose momentum half mirrors the params half)."""
+    from mccnn_tpu.models.params import load_any
+
+    params = init_params(jax.random.key(0))
+    optimizer = make_optimizer(CFG)
+    opt_state = optimizer.init(params)
+
+    directory = str(tmp_path / "ckpt")
+    path = save_checkpoint(directory, 5, params, opt_state)
+    loaded = load_any(path)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    legacy = str(tmp_path / "legacy" / "model_epoch5.npz")
+    import os
+
+    os.makedirs(os.path.dirname(legacy))
+    leaves = jax.tree.leaves({"opt_state": opt_state, "params": params})
+    np.savez(legacy,
+             num_leaves=np.asarray(len(leaves)),
+             **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
+    loaded = load_any(legacy)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_pruning(tmp_path):
     params = {"conv1": {"w": np.zeros(3), "b": np.zeros(1)}}
     directory = str(tmp_path / "ckpt")
