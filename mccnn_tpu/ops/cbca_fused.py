@@ -95,6 +95,7 @@ def _round_kernel(
     compute_dtype,
     bsplit: int | None,
     phase2_precision,
+    dsplit: bool,
 ):
     halo = _HALO
     i = pl.program_id(0)
@@ -124,15 +125,20 @@ def _round_kernel(
     col_off = j * tile_w - col_base
 
     def win_dma_at(slot, k, rb, cb):
-        return pltpu.make_async_copy(
-            vol_hbm.at[
+        # dsplit: the volume is stored (n_chunks, H_r, W_r, tile_d) — the
+        # d-chunk axis major — so this window read is a contiguous
+        # span_w*tile_d run per row (~40 KB bf16) instead of a tile_d-lane
+        # fiber per (row, col); k is a static unrolled-loop index.
+        src = (
+            vol_hbm.at[k, pl.ds(rb, span_h), pl.ds(cb, span_w), :]
+            if dsplit
+            else vol_hbm.at[
                 pl.ds(rb, span_h),
                 pl.ds(cb, span_w),
                 pl.ds(pl.multiple_of(k * tile_d, 128), tile_d),
-            ],
-            win_ref.at[slot],
-            win_sems.at[slot],
+            ]
         )
+        return pltpu.make_async_copy(src, win_ref.at[slot], win_sems.at[slot])
 
     def win_dma(slot, k):
         return win_dma_at(slot, k, row_base, col_base)
@@ -148,15 +154,21 @@ def _round_kernel(
     prefetch = n_chunks <= 2
 
     def out_dma(slot, k):
-        return pltpu.make_async_copy(
-            outb_ref.at[slot],
+        dst = (
             out_hbm.at[
+                k,
+                pl.ds(i * tile_h, tile_h),
+                pl.ds(pl.multiple_of(j * tile_w, 128), tile_w),
+                :,
+            ]
+            if dsplit
+            else out_hbm.at[
                 pl.ds(i * tile_h, tile_h),
                 pl.ds(pl.multiple_of(j * tile_w, 128), tile_w),
                 pl.ds(pl.multiple_of(k * tile_d, 128), tile_d),
-            ],
-            out_sems.at[slot],
+            ]
         )
+        return pltpu.make_async_copy(outb_ref.at[slot], dst, out_sems.at[slot])
 
     arm_copies = [
         # arm planes at the *destination* columns (aligned at j*TW), at
@@ -365,6 +377,7 @@ def cbca_fused(
     compute_dtype=None,
     bsplit: int | None = None,
     phase2_precision: str | lax.Precision | None = None,
+    dsplit: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
@@ -385,6 +398,13 @@ def cbca_fused(
     MXU-rate bf16 multiplies inside the round — the same numerics class as
     ops/cbca_mxu (one bf16 quantization of the operand per round), but
     quantizing only phase 1's multiplicands, not the horizontal sums.
+
+    ``dsplit=True`` transposes the volume to a (D/tile_d, H, W, tile_d)
+    layout for the duration of the rounds, making every in-kernel window
+    DMA a contiguous span_w*tile_d run per row instead of a tile_d-lane
+    fiber per (row, col) — a contiguity experiment against the measured
+    237 GB/s floor of the flat layout (tools/bench_cbca_stream.py). Two
+    layout-conversion passes bracket the round loop.
 
     ``phase2_precision`` sets the vertical dot's TPU matmul precision
     (f32 operands: DEFAULT = 1 bf16 pass, HIGHEST = 6; Mosaic's kernel
@@ -484,6 +504,7 @@ def cbca_fused(
         compute_dtype=compute_dtype,
         bsplit=bsplit,
         phase2_precision=phase2_precision,
+        dsplit=dsplit,
     )
     span_h = tile_h + 2 * _HALO
     span_w = tile_w + 2 * _HALO
@@ -519,7 +540,10 @@ def cbca_fused(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA out
-        out_shape=jax.ShapeDtypeStruct((hp, wp, dp), volume.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, hp, wp, tile_d) if dsplit else (hp, wp, dp),
+            volume.dtype,
+        ),
         scratch_shapes=scratch_shapes,
         # the double-buffered windows + persistent masks exceed the 16 MB
         # default *scoped* limit (v5e physical VMEM is 128 MB); measured
@@ -534,9 +558,15 @@ def cbca_fused(
     )
 
     padded = jnp.pad(volume, ((0, pad_h), (0, pad_w), (0, pad_d)))
+    if dsplit:
+        padded = jnp.transpose(
+            padded.reshape(hp, wp, n_chunks, tile_d), (2, 0, 1, 3)
+        )
 
     def one_round(_, vol):
         return call(vol, arm_l, arm_r, arm_u, arm_d, inv_region)
 
     out = lax.fori_loop(0, num_iterations, one_round, padded)
+    if dsplit:
+        out = jnp.transpose(out, (1, 2, 0, 3)).reshape(hp, wp, dp)
     return out[:height, :width, :d_pad]

@@ -112,6 +112,28 @@ def test_cbca_fused_matches_xla(rng, iterations, dist, tile_h):
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
 
 
+def test_cbca_fused_dsplit_layout_matches_xla(rng):
+    """dsplit stores the volume (D/tile_d, H, W, tile_d) between rounds;
+    D=256/td=128 gives n_chunks=2 so the per-chunk window/out DMAs hit the
+    rank-4 indexing path, and the entry/exit transposes must round-trip."""
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+    height, width, ndisp = 100, 150, 5
+    d_pad = 256
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 14)
+
+    expected = np.asarray(cbca(jnp.asarray(volume), arms, 2, 14))
+    ours = np.asarray(
+        cbca_fused(jnp.asarray(volume), arms, 2, 14,
+                   interpret=True, tile_h=32, dsplit=True)
+    )
+    assert ours.shape == volume.shape
+    np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
+
+
 def test_cbca_fused_bf16_matches_f32_within_tolerance(rng):
     from mccnn_tpu.ops.cbca_fused import cbca_fused
 

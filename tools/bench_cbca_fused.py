@@ -63,6 +63,8 @@ def main():
         kw["bsplit"] = None if b in ("none", "0") else int(b)
     if "P2PREC" in os.environ:  # phase-2 matmul precision: default|high|highest
         kw["phase2_precision"] = os.environ["P2PREC"]
+    if os.environ.get("DSPLIT") == "1":  # (D/td, H, W, td) volume layout
+        kw["dsplit"] = True
     variants = os.environ.get("VARIANTS", "mxu,fused,fused16,check").split(",")
     if "mxu" in variants:
         timed(jax.jit(lambda v, a: cbca_mxu(v, a, n, 14)), vol, arms,

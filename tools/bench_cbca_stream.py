@@ -12,7 +12,15 @@ tiling; the fused kernel's distance above it is the price of its compute
 (phases 1+2 + mask builds), and the floor's distance above bytes/360GBps
 is the DMA-latency/issue overhead of the tiling itself.
 
-Env: H, W, D, TILE_H, TILE_W, TILE_D, DTYPE (bf16|f32), ITERS.
+Env: H, W, D, TILE_H, TILE_W, TILE_D, DTYPE (bf16|f32), ITERS,
+LAYOUT (flat|dsplit).
+
+LAYOUT=dsplit stores the volume as (D/tile_d, H, W, tile_d) — the d-chunk
+axis major — so every window DMA reads a contiguous (span_w * tile_d)-
+element run per row (~40 KB bf16) instead of a 256 B fiber per (row, col).
+This measures whether the flat layout's small per-fiber contiguity is what
+caps the floor at 237 GB/s; if the dsplit floor is materially lower, a
+d-split volume layout between CBCA rounds is the next kernel lever.
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ def _round_up(v, m):
 
 def _stream_kernel(
     vol_hbm, out_hbm, win_ref, out_ref, win_sems, out_sems, *,
-    tile_h, tile_w, tile_d, n_chunks, rows_total, cols_total,
+    tile_h, tile_w, tile_d, n_chunks, rows_total, cols_total, dsplit=False,
 ):
     import jax.numpy as jnp
     from jax import lax
@@ -57,26 +65,38 @@ def _stream_kernel(
     )
 
     def win_dma(slot, k):
-        return pltpu.make_async_copy(
+        src = (
             vol_hbm.at[
+                k,
+                pl.ds(row_base, span_h),
+                pl.ds(col_base, span_w),
+                :,
+            ]
+            if dsplit
+            else vol_hbm.at[
                 pl.ds(row_base, span_h),
                 pl.ds(col_base, span_w),
                 pl.ds(pl.multiple_of(k * tile_d, 128), tile_d),
-            ],
-            win_ref.at[slot],
-            win_sems.at[slot],
+            ]
         )
+        return pltpu.make_async_copy(src, win_ref.at[slot], win_sems.at[slot])
 
     def out_dma(slot, k):
-        return pltpu.make_async_copy(
-            out_ref.at[slot],
+        dst = (
             out_hbm.at[
+                k,
+                pl.ds(pl.multiple_of(i * tile_h, 16), tile_h),
+                pl.ds(pl.multiple_of(j * tile_w, 128), tile_w),
+                :,
+            ]
+            if dsplit
+            else out_hbm.at[
                 pl.ds(pl.multiple_of(i * tile_h, 16), tile_h),
                 pl.ds(pl.multiple_of(j * tile_w, 128), tile_w),
                 pl.ds(pl.multiple_of(k * tile_d, 128), tile_d),
-            ],
-            out_sems.at[slot],
+            ]
         )
+        return pltpu.make_async_copy(out_ref.at[slot], dst, out_sems.at[slot])
 
     win_dma(0, 0).start()
     ro = pl.multiple_of(i * tile_h - row_base, 16)
@@ -123,22 +143,24 @@ def main():
     iters = int(os.environ.get("ITERS", "4"))
     dtype = (jnp.bfloat16 if os.environ.get("DTYPE", "bf16") == "bf16"
              else jnp.float32)
+    dsplit = os.environ.get("LAYOUT", "flat") == "dsplit"
 
     hp = _round_up(height, tile_h)
     wp = _round_up(width, tile_w)
     n_chunks = d_pad // tile_d
     span_h, span_w = tile_h + 2 * _HALO, tile_w + 2 * _HALO
+    vol_shape = (n_chunks, hp, wp, tile_d) if dsplit else (hp, wp, d_pad)
 
     kernel = functools.partial(
         _stream_kernel, tile_h=tile_h, tile_w=tile_w, tile_d=tile_d,
-        n_chunks=n_chunks, rows_total=hp, cols_total=wp,
+        n_chunks=n_chunks, rows_total=hp, cols_total=wp, dsplit=dsplit,
     )
     call = pl.pallas_call(
         kernel,
         grid=(hp // tile_h, wp // tile_w),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((hp, wp, d_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct(vol_shape, dtype),
         scratch_shapes=[
             pltpu.VMEM((2, span_h, span_w, tile_d), dtype),
             pltpu.VMEM((2, tile_h, tile_w, tile_d), dtype),
@@ -154,7 +176,7 @@ def main():
 
     rng = np.random.default_rng(0)
     vol = jnp.asarray(
-        rng.normal(size=(hp, wp, d_pad)).astype(np.float32)
+        rng.normal(size=vol_shape).astype(np.float32)
     ).astype(dtype)
 
     def rounds(v):
@@ -174,8 +196,9 @@ def main():
     bytes_moved = hp * wp * d_pad * np.dtype(
         np.float32 if dtype == jnp.float32 else np.float16).itemsize
     read_amp = (span_h / tile_h) * (span_w / tile_w)
-    print(f"stream-only round ({hp}x{wp}x{d_pad} {os.environ.get('DTYPE','bf16')}, "
-          f"th{tile_h} tw{tile_w} td{tile_d}): {per_round:.2f} ms "
+    layout = "dsplit" if dsplit else "flat"
+    print(f"stream-only round ({hp}x{wp}x{d_pad} {os.environ.get('DTYPE','bf16')} "
+          f"{layout}, th{tile_h} tw{tile_w} td{tile_d}): {per_round:.2f} ms "
           f"(checksum ok={abs(got - want) < 1e-2 * abs(want) + 1}); "
           f"traffic {(1 + read_amp) * bytes_moved / 1e9:.2f} GB/round -> "
           f"{(1 + read_amp) * bytes_moved / per_round / 1e6:.0f} GB/s achieved",
