@@ -74,8 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cost_volume_method", type=str, default="auto",
                         choices=["auto", "pallas", "matmul", "rolldot"])
     parser.add_argument("--cbca_impl", type=str, default="auto",
-                        choices=["auto", "mxu", "fused", "fused16", "pallas",
-                                 "xla", "rolling", "rolling16"],
+                        choices=["auto", "mxu", "fused", "fused16", "fused8",
+                                 "pallas", "xla", "rolling", "rolling16"],
                         help="CBCA aggregation backend. 'auto' picks the "
                              "fast MXU path on TPU (bf16 multiplies, ~0.16%% "
                              "mean relative deviation per stage; end-to-end "

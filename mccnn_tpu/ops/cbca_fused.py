@@ -61,9 +61,70 @@ from mccnn_tpu.ops.cbca import CrossArms, _arm_stencil_sum, cbca
 
 _HALO = 16  # >= stencil radius (13); multiple of 8 and 16 for DMA alignment
 
+_BIG_CUTOFF = 1e8  # values above this are BIG_COST pad sentinels
+
 
 def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
+
+
+def _quantize_int8(volume: jax.Array):
+    """Symmetric per-call int8 quantization of a cost volume.
+
+    One scale per call, computed from the valid (non-BIG) values:
+    aggregation rounds are convex averages, so |avg| <= max|v| and the
+    entry scale stays valid for every subsequent round. BIG_COST pad
+    lanes quantize to exactly 127 while valid values round to <= 126, so
+    q == 127 identifies BIG bijectively (they average only among
+    themselves spatially and stay 127 under integer-average rounds) —
+    dequantization restores the sentinel by value, keeping no f32 copy
+    of the input alive across the rounds (the full-res memory budget).
+    """
+    vol_f = volume.astype(jnp.float32)
+    big = vol_f >= _BIG_CUTOFF
+    amax = jnp.max(jnp.where(big, 0.0, jnp.abs(vol_f)))
+    scale = 126.0 / jnp.maximum(amax, 1e-30)
+    q = jnp.clip(jnp.round(vol_f * scale), -126.0, 126.0)
+    q = jnp.where(big, 127.0, q).astype(jnp.int8)
+    return q, scale
+
+
+def _dequantize_int8(q: jax.Array, scale, out_dtype) -> jax.Array:
+    """Invert ``_quantize_int8``; q == 127 restores the BIG_COST sentinel."""
+    from mccnn_tpu.ops.common import BIG_COST
+
+    deq = q.astype(jnp.float32) / scale
+    return jnp.where(q == 127, BIG_COST, deq).astype(out_dtype)
+
+
+def cbca_int8_xla(
+    volume: jax.Array,
+    arms: CrossArms,
+    num_iterations: int,
+    distance_threshold: int = 14,
+) -> jax.Array:
+    """XLA reference of the int8-storage aggregation (and small-shape path).
+
+    Arithmetic is identical to the int8 kernel: quantize once, then each
+    round computes round(sum(q) * inv_region) on exact integer sums
+    (integers < 2^24 are exact in f32, and both paths multiply by the same
+    f32 inverse), so kernel and this sim agree bit-for-bit.
+    """
+    if num_iterations == 0:
+        return volume
+    raw = volume.dtype == jnp.int8  # pre-quantized (the sharded wrapper
+    # quantizes ONCE globally so shards share the scale); stay int8
+    if raw:
+        q = volume
+    else:
+        q, scale = _quantize_int8(volume)
+
+    def one_round(_, qv):
+        out = cbca(qv.astype(jnp.float32), arms, 1, distance_threshold)
+        return jnp.round(out).astype(jnp.int8)
+
+    q = lax.fori_loop(0, num_iterations, one_round, q)
+    return q if raw else _dequantize_int8(q, scale, volume.dtype)
 
 
 def _round_kernel(
@@ -287,12 +348,16 @@ def _round_kernel(
         win_dma(w_slot, k).wait()
 
         # Phase 1 (MXU): mid[m, b, d] = sum_a mask[m, a, b] win[m, a, d].
+        # int8 mode: i8 0/1 mask x i8 window -> i32 accumulation (native
+        # int8 MXU; the <= 29-term sums are EXACT integers, tighter than
+        # the bf16 mode's rounded products).
+        mid_acc = jnp.int32 if compute_dtype == jnp.int8 else jnp.float32
         if bsplit is None:
             mid_ref[:, :, :] = lax.dot_general(
                 mask_ref[:, :, :],
                 win_ref[w_slot].astype(compute_dtype),
                 (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=mid_acc,
                 precision=precision,
             )
         else:
@@ -305,7 +370,7 @@ def _round_kernel(
                     mask_ref[s],
                     win_s,
                     (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=mid_acc,
                     precision=precision,
                 )
 
@@ -342,7 +407,13 @@ def _round_kernel(
         # Phase 2 (MXU): out[t, b, d] = inv[t, b] * sum_m vmask[b, m, t]
         # mid[m, b, d], batched over columns b; f32 operands/accumulation,
         # pass count set by phase2_precision (see module docstring).
-        mid_t = jnp.swapaxes(mid_ref[:, :, :], 0, 1)  # (TW, span_h, TD)
+        # int8 mode widens the i32 horizontal sums to f32 first (ints up
+        # to ~1e5 are exact in f32, so HIGHEST phase 2 keeps the whole
+        # round's arithmetic exact integer math up to the final rounding).
+        mid = mid_ref[:, :, :]
+        if compute_dtype == jnp.int8:
+            mid = mid.astype(jnp.float32)
+        mid_t = jnp.swapaxes(mid, 0, 1)  # (TW, span_h, TD)
         agg = lax.dot_general(
             vmask_ref[:, :, :],
             mid_t,
@@ -351,7 +422,12 @@ def _round_kernel(
             precision=phase2_precision,
         )  # (TW, TH, TD)
         agg = agg * inv_t[:, :, None]
-        outb_ref[o_slot] = jnp.swapaxes(agg, 0, 1).astype(outb_ref.dtype)
+        res = jnp.swapaxes(agg, 0, 1)
+        if compute_dtype == jnp.int8:
+            # round-half-even average in quantized units; the convex
+            # average of values in [-127, 127] stays in range, no clip
+            res = jnp.round(res).astype(jnp.int32)
+        outb_ref[o_slot] = res.astype(outb_ref.dtype)
         out_dma(o_slot, k).start()
 
     # drain the in-flight writes only once, at the end of the LAST grid
@@ -378,6 +454,7 @@ def cbca_fused(
     bsplit: int | None = None,
     phase2_precision: str | lax.Precision | None = None,
     dsplit: bool = False,
+    int8_storage: bool = False,
 ) -> jax.Array:
     """Drop-in replacement for ``cbca.cbca`` (f32 and bf16 volumes).
 
@@ -417,6 +494,17 @@ def cbca_fused(
     the only added rounding is one bf16 quantization of the (f32)
     horizontal sums per round, the same numerics class as the modes'
     phase-1 quantization.
+
+    ``int8_storage=True`` is the bandwidth mode: the volume is quantized
+    ONCE (symmetric per-call scale from the valid values — see
+    ``_quantize_int8``) and every round runs as exact integer math: i8
+    0/1 mask x i8 window -> i32 phase-1 sums on the native int8 MXU, f32
+    HIGHEST phase 2 (integer sums < 2^24 are exact in f32), and a
+    round-half-even int8 store of the average. Per-round DMA bytes halve
+    vs bf16 (the round is DMA-bound — BASELINE.md's stream-floor
+    argument); the only inexactness is the entry quantization plus one
+    <= 0.5-step rounding of each round's average
+    (quality probed at headline scale: tools/probe_cbca_int8.py).
     """
     if num_iterations == 0:
         return volume
@@ -456,7 +544,10 @@ def cbca_fused(
     dp = _round_up(d_pad, tile_d)
     if hp < tile_h + 2 * _HALO or wp < tile_w + 2 * _HALO:
         # too small for a clamped haloed tile — tiny images take the exact
-        # XLA stencil (identical semantics)
+        # XLA path (identical semantics per mode)
+        if int8_storage:
+            return cbca_int8_xla(volume, arms, num_iterations,
+                                 distance_threshold)
         return cbca(volume, arms, num_iterations, distance_threshold)
 
     pad_h, pad_w, pad_d = hp - height, wp - width, dp - d_pad
@@ -479,17 +570,22 @@ def cbca_fused(
     )
     inv_region = 1.0 / region_size
 
-    if compute_dtype is None:
+    if int8_storage:
+        compute_dtype = jnp.int8  # i8 mask x i8 window -> i32 phase 1
+    elif compute_dtype is None:
         compute_dtype = (
             jnp.float32 if volume.dtype == jnp.float32 else jnp.bfloat16
         )
     compute_dtype = jnp.dtype(compute_dtype)
+    storage_dtype = jnp.int8 if int8_storage else volume.dtype
     if isinstance(phase2_precision, str):
         phase2_precision = lax.Precision[phase2_precision.upper()]
     if phase2_precision is None:
+        # int8 mode keeps HIGHEST: exact integer f32 phase 2 makes the
+        # whole round deterministic integer math (bit-equal to the XLA sim)
         phase2_precision = (
             lax.Precision.HIGHEST
-            if compute_dtype == jnp.float32
+            if compute_dtype in (jnp.float32, jnp.int8)
             else lax.Precision.DEFAULT
         )
     kernel = functools.partial(
@@ -512,12 +608,13 @@ def cbca_fused(
         (span_h, span_w, tile_w) if bsplit is None
         else (tile_w // bsplit, span_h, bsplit + 2 * _HALO, bsplit)
     )
+    mid_dtype = jnp.int32 if int8_storage else jnp.float32
     scratch_shapes = [
-        pltpu.VMEM((2, span_h, span_w, tile_d), volume.dtype),  # windows
-        pltpu.VMEM(mask_shape, compute_dtype),                  # h-mask
-        pltpu.VMEM((tile_w, span_h, tile_h), jnp.float32),      # v-mask
-        pltpu.VMEM((span_h, tile_w, tile_d), jnp.float32),      # mid (f32)
-        pltpu.VMEM((out_bufs, tile_h, tile_w, tile_d), volume.dtype),
+        pltpu.VMEM((2, span_h, span_w, tile_d), storage_dtype),  # windows
+        pltpu.VMEM(mask_shape, compute_dtype),                   # h-mask
+        pltpu.VMEM((tile_w, span_h, tile_h), jnp.float32),       # v-mask
+        pltpu.VMEM((span_h, tile_w, tile_d), mid_dtype),         # mid
+        pltpu.VMEM((out_bufs, tile_h, tile_w, tile_d), storage_dtype),
         pltpu.VMEM((span_h, tile_w), jnp.int32),
         pltpu.VMEM((span_h, tile_w), jnp.int32),
         pltpu.SemaphoreType.DMA((2,)),
@@ -542,7 +639,7 @@ def cbca_fused(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA out
         out_shape=jax.ShapeDtypeStruct(
             (n_chunks, hp, wp, tile_d) if dsplit else (hp, wp, dp),
-            volume.dtype,
+            storage_dtype,
         ),
         scratch_shapes=scratch_shapes,
         # the double-buffered windows + persistent masks exceed the 16 MB
@@ -557,7 +654,11 @@ def cbca_fused(
         interpret=interpret,
     )
 
-    padded = jnp.pad(volume, ((0, pad_h), (0, pad_w), (0, pad_d)))
+    work = volume
+    int8_raw = int8_storage and volume.dtype == jnp.int8
+    if int8_storage and not int8_raw:
+        work, scale = _quantize_int8(volume)
+    padded = jnp.pad(work, ((0, pad_h), (0, pad_w), (0, pad_d)))
     if dsplit:
         padded = jnp.transpose(
             padded.reshape(hp, wp, n_chunks, tile_d), (2, 0, 1, 3)
@@ -569,4 +670,7 @@ def cbca_fused(
     out = lax.fori_loop(0, num_iterations, one_round, padded)
     if dsplit:
         out = jnp.transpose(out, (1, 2, 0, 3)).reshape(hp, wp, dp)
-    return out[:height, :width, :d_pad]
+    out = out[:height, :width, :d_pad]
+    if int8_storage and not int8_raw:
+        out = _dequantize_int8(out, scale, volume.dtype)
+    return out

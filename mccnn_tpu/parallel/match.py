@@ -48,8 +48,8 @@ def make_sharded_match(
         cost_volume_fn = make_sharded_cost_volume_fn(
             ndisp, mesh, axis, dtype=volume_dtype
         )
-    if cbca_impl in ("fused", "fused16", "fused2", "fused2_16", "pallas",
-                     "rolling", "rolling16"):
+    if cbca_impl in ("fused", "fused16", "fused8", "fused2", "fused2_16",
+                     "pallas", "rolling", "rolling16"):
         # every manual-DMA Pallas CBCA impl must go through the shard_map
         # wrapper — passed straight to match_pair inside the GSPMD program
         # it cannot partition (project invariant)

@@ -101,6 +101,12 @@ def make_sharded_cbca_fn(
             if impl == "rolling16"
             else cbca_fused_rolling
         )
+    elif impl == "fused8":
+        # int8 storage: fn() quantizes ONCE globally below (plain GSPMD
+        # ops, so every shard shares the scale) and the per-shard kernel
+        # runs raw integer rounds on the pre-quantized i8 volume —
+        # sharded output is bit-equal to the unsharded fused8 path
+        aggregate = functools.partial(cbca_fused, int8_storage=True)
     elif impl == "pallas":
         from mccnn_tpu.ops.cbca_pallas import cbca_pallas as aggregate
     else:
@@ -153,6 +159,15 @@ def make_sharded_cbca_fn(
                 vol = out[radius * rem:-radius * rem]
             return vol
 
+        if impl == "fused8":
+            from mccnn_tpu.ops.cbca_fused import (
+                _dequantize_int8,
+                _quantize_int8,
+            )
+
+            q, scale = _quantize_int8(volume)
+            out = run(q, arms.left, arms.right, arms.up, arms.down)
+            return _dequantize_int8(out, scale, volume.dtype)
         return run(volume, arms.left, arms.right, arms.up, arms.down)
 
     return fn

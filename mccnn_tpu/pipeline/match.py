@@ -60,6 +60,15 @@ def _cbca_aggregate(cbca_impl: str):
 
         aggregate = _functools.partial(cbca_fused_two,
                                        compute_dtype=jnp.bfloat16)
+    elif cbca_impl == "fused8":
+        # int8 storage between rounds: half the DMA bytes of bf16 on the
+        # DMA-bound round; exact integer in-kernel math, one symmetric
+        # quantization per CBCA block (ops/cbca_fused.py int8_storage)
+        import functools as _functools
+
+        from mccnn_tpu.ops.cbca_fused import cbca_fused
+
+        aggregate = _functools.partial(cbca_fused, int8_storage=True)
     elif cbca_impl == "rolling":
         from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling as aggregate
     elif cbca_impl == "rolling16":

@@ -134,6 +134,60 @@ def test_cbca_fused_dsplit_layout_matches_xla(rng):
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-4)
 
 
+def test_cbca_fused_int8_matches_xla_sim(rng):
+    """int8-storage mode is exact integer math: the kernel (i8 mask x i8
+    window -> i32 phase 1, f32 HIGHEST phase 2, round-half-even store)
+    must equal the XLA simulation BIT-FOR-BIT (both compute
+    round(sum(q) * inv_region) on exact integer f32 sums), preserve
+    BIG_COST pad lanes exactly, and sit within ~1 quantization step per
+    round of the exact aggregation."""
+    from mccnn_tpu.ops.cbca_fused import cbca_fused, cbca_int8_xla
+
+    height, width, ndisp, d_pad = 100, 150, 5, 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 14)
+    iterations = 2
+
+    ours = np.asarray(cbca_fused(jnp.asarray(volume), arms, iterations, 14,
+                                 interpret=True, tile_h=32,
+                                 int8_storage=True))
+    sim = np.asarray(cbca_int8_xla(jnp.asarray(volume), arms, iterations, 14))
+    np.testing.assert_array_equal(ours, sim)
+    assert np.all(ours[:, :, ndisp:] == BIG_COST)
+
+    exact = np.asarray(cbca(jnp.asarray(volume), arms, iterations, 14))
+    step = 2 * np.abs(volume[:, :, :ndisp]).max() / 252
+    err = np.abs(ours[:, :, :ndisp] - exact[:, :, :ndisp]).max()
+    assert err <= (iterations + 0.6) * step, (err, step)
+
+
+def test_cbca_fused_int8_raw_mode_stays_int8(rng):
+    """Pre-quantized i8 input (the sharded wrapper's global-scale path)
+    runs raw integer rounds and returns i8."""
+    from mccnn_tpu.ops.cbca_fused import (
+        _dequantize_int8,
+        _quantize_int8,
+        cbca_fused,
+        cbca_int8_xla,
+    )
+
+    height, width, ndisp, d_pad = 100, 150, 5, 128
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    arms = compute_arms(jnp.asarray(image), 0.8, 14)
+
+    q, scale = _quantize_int8(jnp.asarray(volume))
+    raw = cbca_fused(q, arms, 2, 14, interpret=True, tile_h=32,
+                     int8_storage=True)
+    assert raw.dtype == jnp.int8
+    via_raw = np.asarray(_dequantize_int8(raw, scale, jnp.float32))
+    whole = np.asarray(cbca_int8_xla(jnp.asarray(volume), arms, 2, 14))
+    np.testing.assert_array_equal(via_raw, whole)
+
+
 def test_cbca_fused_bf16_matches_f32_within_tolerance(rng):
     from mccnn_tpu.ops.cbca_fused import cbca_fused
 

@@ -170,6 +170,30 @@ def test_shard_map_pallas_cbca_matches_unsharded_kernel(rng):
     np.testing.assert_allclose(sharded, expected, rtol=1e-4, atol=1e-4)
 
 
+def test_shard_map_fused8_cbca_bitequal_to_unsharded(rng):
+    """The int8-storage shard_map hook quantizes ONCE globally (all
+    shards share the scale) and runs raw integer rounds per shard —
+    sharded output must be BIT-EQUAL to the unsharded fused8 call."""
+    from mccnn_tpu.ops.cbca import compute_arms
+    from mccnn_tpu.ops.cbca_fused import cbca_fused
+    from mccnn_tpu.ops.common import BIG_COST
+    from mccnn_tpu.parallel.pallas_shard import make_sharded_cbca_fn
+
+    mesh = make_mesh(2)
+    height, width, ndisp, d_pad = 128, 160, 5, 128  # 64 rows/shard
+    image = rng.normal(size=(height, width)).astype(np.float32)
+    volume = np.full((height, width, d_pad), BIG_COST, dtype=np.float32)
+    volume[:, :, :ndisp] = rng.normal(size=(height, width, ndisp))
+    tau, dist = 0.8, 14
+
+    arms = compute_arms(jnp.asarray(image), tau, dist)
+    expected = np.asarray(cbca_fused(jnp.asarray(volume), arms, 2, dist,
+                                     int8_storage=True))
+    fn = make_sharded_cbca_fn(dist, mesh, impl="fused8")
+    sharded = np.asarray(fn(jnp.asarray(volume), arms, 2))
+    np.testing.assert_array_equal(sharded, expected)
+
+
 def test_shard_map_fused2_cbca_matches_unsharded_kernel(rng):
     """The two-round shard_map hook (halo = 2*radius, rounds_per_pass=2)
     must equal the exact stencil; 3 iterations exercises the odd-count

@@ -76,6 +76,12 @@ def main():
         vol16 = vol.astype(jnp.bfloat16)
         timed(jax.jit(lambda v, a: cbca_fused(v, a, n, 14, **kw)), vol16, arms,
               label=f"cbca fused bf16 th{tile_h} tw{tile_w} td{tile_d} ob{out_bufs} x{n}")
+    if "fused8" in variants:
+        # int8 storage (half the DMA bytes of bf16 on the DMA-bound round);
+        # quant/dequant bracket the n-round loop inside the call
+        timed(jax.jit(lambda v, a: cbca_fused(
+            v, a, n, 14, int8_storage=True, **kw)), vol, arms,
+              label=f"cbca fused int8 th{tile_h} tw{tile_w} td{tile_d} x{n}")
     if "mixed" in variants:
         # f32 storage, bf16 phase-1 multiplies (cbca_impl="fused16")
         timed(jax.jit(lambda v, a: cbca_fused(
@@ -165,6 +171,20 @@ def main():
             f"p99.9 {np.percentile(diff, 99.9):.3e} mean {diff.mean():.3e} "
             f"(ref mean |value| {float(np.abs(refq).mean()):.3e})",
             flush=True)
+    if "checkint8" in variants:
+        # the int8 kernel is exact integer math: it must equal the XLA
+        # int8 simulation BIT-FOR-BIT on device (absolute comparison on
+        # the identically-quantized input, per CLAUDE.md methodology)
+        from mccnn_tpu.ops.cbca_fused import cbca_int8_xla
+
+        ref8 = np.asarray(jax.jit(
+            lambda v, a: cbca_int8_xla(v, a, 2, 14))(vol, arms))
+        got8 = np.asarray(jax.jit(lambda v, a: cbca_fused(
+            v, a, 2, 14, int8_storage=True, **kw))(vol, arms))
+        diff = np.abs(got8 - ref8)
+        print(
+            f"int8 kernel vs xla int8 sim (2 rounds): max {diff.max():.3e} "
+            f"exact-equal {np.mean(got8 == ref8):.6f}", flush=True)
     if "checkroll" in variants:
         from mccnn_tpu.ops.cbca_rolling import cbca_fused_rolling
 

@@ -141,8 +141,10 @@ def main():
     tile_w = int(os.environ.get("TILE_W", "128"))
     tile_d = int(os.environ.get("TILE_D", "128"))
     iters = int(os.environ.get("ITERS", "4"))
-    dtype = (jnp.bfloat16 if os.environ.get("DTYPE", "bf16") == "bf16"
-             else jnp.float32)
+    # i8 probes the floor for an int8-storage CBCA (half the bytes of
+    # bf16); the identity-copy semantics are dtype-agnostic
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32, "i8": jnp.int8}[
+        os.environ.get("DTYPE", "bf16")]
     dsplit = os.environ.get("LAYOUT", "flat") == "dsplit"
 
     hp = _round_up(height, tile_h)
@@ -175,9 +177,14 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    vol = jnp.asarray(
-        rng.normal(size=vol_shape).astype(np.float32)
-    ).astype(dtype)
+    if dtype == jnp.int8:
+        vol = jnp.asarray(
+            rng.integers(-100, 100, size=vol_shape, dtype=np.int8)
+        )
+    else:
+        vol = jnp.asarray(
+            rng.normal(size=vol_shape).astype(np.float32)
+        ).astype(dtype)
 
     def rounds(v):
         from jax import lax
@@ -193,8 +200,7 @@ def main():
     out = fn(vol)
     np.asarray(sync(out))
     per_round = (time.time() - t0) / iters * 1e3
-    bytes_moved = hp * wp * d_pad * np.dtype(
-        np.float32 if dtype == jnp.float32 else np.float16).itemsize
+    bytes_moved = hp * wp * d_pad * jnp.dtype(dtype).itemsize
     read_amp = (span_h / tile_h) * (span_w / tile_w)
     layout = "dsplit" if dsplit else "flat"
     print(f"stream-only round ({hp}x{wp}x{d_pad} {os.environ.get('DTYPE','bf16')} "
