@@ -289,8 +289,8 @@ def _band_kernel_mxu_one(
     anchor_hbm,  # (Hp, C, Wpad) anchor features, channel-major
     ctx_hbm,     # (Hp, C, Wpad) context features, W axis REVERSED
     out_ref,  # (TH, TW, TD)
-    anchor_tile,  # scratch (TH, C, TW)
-    ctx_tile,     # scratch (TH, C, TW + TD)
+    anchor_tile,  # scratch (2, TH, C, TW) — double-buffered
+    ctx_tile,     # scratch (2, TH, C, TW + TD)
     sems,
     *,
     tile_h: int,
@@ -304,42 +304,80 @@ def _band_kernel_mxu_one(
 ):
     """Single-band variant of ``_band_kernel_mxu``: half the DMA traffic,
     matmuls, and output writes — used when the pipeline builds one volume
-    at a time to halve peak HBM (the full-resolution schedule)."""
+    at a time to halve peak HBM (the full-resolution schedule).
+
+    Cross-tile prefetch: each grid step starts the NEXT tile's anchor/ctx
+    window DMAs (into the other buffer slot) before computing, so the
+    fetch rides under this tile's matmuls instead of serializing with
+    them — the same pattern as the fused CBCA kernel's chunk-0 prefetch.
+    The serialized start->wait per tile left the whole DMA latency on the
+    critical path of every one of the (H/TH)(D/TD)(W/TW) tiles. Requires
+    the sequential row-major grid ("arbitrary" dimension semantics)."""
     i = pl.program_id(0)
     k = pl.program_id(1)
     j = pl.program_id(2)
-    row0 = i * tile_h
-    anchor0 = pl.multiple_of(j * tile_w + d_total, 128)
-    if side == "left":
-        ctx0 = pl.multiple_of(
-            w_total - (tile_w + tile_d)
-            - (j * tile_w - k * tile_d + d_total - tile_d),
-            128,
-        )
-    else:
-        ctx0 = pl.multiple_of(
-            w_total - (tile_w + tile_d)
-            - (j * tile_w + k * tile_d + d_total),
-            128,
-        )
+    grid_k = pl.num_programs(1)
+    grid_j = pl.num_programs(2)
+    g = (i * grid_k + k) * grid_j + j
+    slot = jax.lax.rem(g, 2)
 
-    copies = [
-        pltpu.make_async_copy(
-            anchor_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
-            anchor_tile, sems.at[0],
-        ),
-        pltpu.make_async_copy(
-            ctx_hbm.at[pl.ds(row0, tile_h), :, pl.ds(ctx0, tile_w + tile_d)],
-            ctx_tile, sems.at[1],
-        ),
-    ]
-    for copy in copies:
-        copy.start()
-    for copy in copies:
-        copy.wait()
+    def copies_at(buf, ti, tk, tj):
+        row0 = ti * tile_h
+        anchor0 = pl.multiple_of(tj * tile_w + d_total, 128)
+        if side == "left":
+            ctx0 = pl.multiple_of(
+                w_total - (tile_w + tile_d)
+                - (tj * tile_w - tk * tile_d + d_total - tile_d),
+                128,
+            )
+        else:
+            ctx0 = pl.multiple_of(
+                w_total - (tile_w + tile_d)
+                - (tj * tile_w + tk * tile_d + d_total),
+                128,
+            )
+        return [
+            pltpu.make_async_copy(
+                anchor_hbm.at[pl.ds(row0, tile_h), :,
+                              pl.ds(anchor0, tile_w)],
+                anchor_tile.at[buf], sems.at[buf, 0],
+            ),
+            pltpu.make_async_copy(
+                ctx_hbm.at[pl.ds(row0, tile_h), :,
+                           pl.ds(ctx0, tile_w + tile_d)],
+                ctx_tile.at[buf], sems.at[buf, 1],
+            ),
+        ]
+
+    @pl.when(g == 0)
+    def _():
+        for copy in copies_at(0, i, k, j):
+            copy.start()
+
+    # successor tile ids in row-major grid order (j fastest), clamped so
+    # the (suppressed) last-step descriptors stay in range
+    wrap_j = j + 1 >= grid_j
+    nj = jnp.where(wrap_j, 0, j + 1)
+    wrap_k = wrap_j & (k + 1 >= grid_k)
+    nk = jnp.where(wrap_j, jnp.where(k + 1 >= grid_k, 0, k + 1), k)
+    ni = jnp.minimum(jnp.where(wrap_k, i + 1, i), pl.num_programs(0) - 1)
+    have_next = g + 1 < pl.num_programs(0) * grid_k * grid_j
+
+    # literal buffer indices per parity branch (traced .at[slot] DMA
+    # descriptors hang the Mosaic compiler — see CLAUDE.md / cbca_fused)
+    for own in (0, 1):
+        @pl.when(slot == own)
+        def _(own=own):
+            for copy in copies_at(own, i, k, j):
+                copy.wait()
+
+            @pl.when(have_next)
+            def _():
+                for copy in copies_at(1 - own, ni, nk, nj):
+                    copy.start()
 
     corr = jax.lax.dot_general(
-        anchor_tile[:, :, :], ctx_tile[:, :, :],
+        anchor_tile[slot], ctx_tile[slot],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=precision,
@@ -474,11 +512,15 @@ def band_pair_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((hp, wp, d_total), out_dtype),
             scratch_shapes=[
-                pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
-                pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, tile_h, cp, tile_w), features_left.dtype),
+                pltpu.VMEM((2, tile_h, cp, tile_w + tile_d),
+                           features_left.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
             compiler_params=pltpu.CompilerParams(
+                # "arbitrary" pins the sequential row-major grid order the
+                # cross-tile prefetch relies on
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
             interpret=interpret,
