@@ -208,56 +208,83 @@ def _band_kernel_mxu(
     i = pl.program_id(0)
     k = pl.program_id(1)  # disparity-tile index
     j = pl.program_id(2)  # column-tile index
-    row0 = i * tile_h
-    anchor0 = pl.multiple_of(j * tile_w + d_total, 128)
-    # left ctx covers fr cols [j*TW - k*TD + d_total - TD, ... + TW + TD);
-    # in the reversed array that window starts at w_total - end
-    left_ctx0 = j * tile_w - k * tile_d + d_total - tile_d
-    left_ctx0_rev = pl.multiple_of(
-        w_total - (tile_w + tile_d) - left_ctx0, 128
-    )
-    # right ctx covers fl cols [j*TW + k*TD + d_total, ... + TW + TD)
-    right_ctx0 = j * tile_w + k * tile_d + d_total
-    right_ctx0_rev = pl.multiple_of(
-        w_total - (tile_w + tile_d) - right_ctx0, 128
-    )
+    grid_k = pl.num_programs(1)
+    grid_j = pl.num_programs(2)
+    g = (i * grid_k + k) * grid_j + j
+    slot = jax.lax.rem(g, 2)
 
-    copies = [
-        pltpu.make_async_copy(
-            fl_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
-            fl_tile, sems.at[0],
-        ),
-        pltpu.make_async_copy(
-            fr_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
-            fr_tile, sems.at[1],
-        ),
-        pltpu.make_async_copy(
-            fr_rev_hbm.at[pl.ds(row0, tile_h), :,
-                          pl.ds(left_ctx0_rev, tile_w + tile_d)],
-            fr_ctx, sems.at[2],
-        ),
-        pltpu.make_async_copy(
-            fl_rev_hbm.at[pl.ds(row0, tile_h), :,
-                          pl.ds(right_ctx0_rev, tile_w + tile_d)],
-            fl_ctx, sems.at[3],
-        ),
-    ]
-    for copy in copies:
-        copy.start()
-    for copy in copies:
-        copy.wait()
+    def copies_at(buf, ti, tk, tj):
+        row0 = ti * tile_h
+        anchor0 = pl.multiple_of(tj * tile_w + d_total, 128)
+        # left ctx covers fr cols [tj*TW - tk*TD + d_total - TD, .. +TW+TD);
+        # in the reversed array that window starts at w_total - end
+        left_ctx0 = tj * tile_w - tk * tile_d + d_total - tile_d
+        left_ctx0_rev = pl.multiple_of(
+            w_total - (tile_w + tile_d) - left_ctx0, 128
+        )
+        # right ctx covers fl cols [tj*TW + tk*TD + d_total, .. +TW+TD)
+        right_ctx0 = tj * tile_w + tk * tile_d + d_total
+        right_ctx0_rev = pl.multiple_of(
+            w_total - (tile_w + tile_d) - right_ctx0, 128
+        )
+        return [
+            pltpu.make_async_copy(
+                fl_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
+                fl_tile.at[buf], sems.at[buf, 0],
+            ),
+            pltpu.make_async_copy(
+                fr_hbm.at[pl.ds(row0, tile_h), :, pl.ds(anchor0, tile_w)],
+                fr_tile.at[buf], sems.at[buf, 1],
+            ),
+            pltpu.make_async_copy(
+                fr_rev_hbm.at[pl.ds(row0, tile_h), :,
+                              pl.ds(left_ctx0_rev, tile_w + tile_d)],
+                fr_ctx.at[buf], sems.at[buf, 2],
+            ),
+            pltpu.make_async_copy(
+                fl_rev_hbm.at[pl.ds(row0, tile_h), :,
+                              pl.ds(right_ctx0_rev, tile_w + tile_d)],
+                fl_ctx.at[buf], sems.at[buf, 3],
+            ),
+        ]
+
+    @pl.when(g == 0)
+    def _():
+        for copy in copies_at(0, i, k, j):
+            copy.start()
+
+    # successor tile ids (row-major, j fastest), clamped in range; see
+    # _band_kernel_mxu_one — cross-tile prefetch hides the window DMAs
+    # under the predecessor tile's matmuls
+    wrap_j = j + 1 >= grid_j
+    nj = jnp.where(wrap_j, 0, j + 1)
+    wrap_k = wrap_j & (k + 1 >= grid_k)
+    nk = jnp.where(wrap_j, jnp.where(k + 1 >= grid_k, 0, k + 1), k)
+    ni = jnp.minimum(jnp.where(wrap_k, i + 1, i), pl.num_programs(0) - 1)
+    have_next = g + 1 < pl.num_programs(0) * grid_k * grid_j
+
+    for own in (0, 1):
+        @pl.when(slot == own)
+        def _(own=own):
+            for copy in copies_at(own, i, k, j):
+                copy.wait()
+
+            @pl.when(have_next)
+            def _():
+                for copy in copies_at(1 - own, ni, nk, nj):
+                    copy.start()
 
     # corr[h, u, t] = <anchor[h, u], ctx[h, t]> on the MXU (contract
     # channels), ONE row-batched dot per tile — a per-row 2D-dot loop
     # bottoms out on Mosaic's per-instruction floor at ~2.4 Tflops
     corr_l = jax.lax.dot_general(
-        fl_tile[:, :, :], fr_ctx[:, :, :],
+        fl_tile[slot], fr_ctx[slot],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=precision,
     )  # (TH, TW, TW + TD); reversed ctx: col t = fr[...hi - t]
     corr_r = jax.lax.dot_general(
-        fr_tile[:, :, :], fl_ctx[:, :, :],
+        fr_tile[slot], fl_ctx[slot],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=precision,
@@ -550,13 +577,16 @@ def band_pair_pallas(
             out_specs=(out_l_spec, out_r_spec),
             out_shape=(out_shape, out_shape),
             scratch_shapes=[
-                pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
-                pltpu.VMEM((tile_h, cp, tile_w), features_left.dtype),
-                pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
-                pltpu.VMEM((tile_h, cp, tile_w + tile_d), features_left.dtype),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((2, tile_h, cp, tile_w), features_left.dtype),
+                pltpu.VMEM((2, tile_h, cp, tile_w), features_left.dtype),
+                pltpu.VMEM((2, tile_h, cp, tile_w + tile_d),
+                           features_left.dtype),
+                pltpu.VMEM((2, tile_h, cp, tile_w + tile_d),
+                           features_left.dtype),
+                pltpu.SemaphoreType.DMA((2, 4)),
             ],
             compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
             interpret=interpret,
