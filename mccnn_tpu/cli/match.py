@@ -75,14 +75,19 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "pallas", "matmul", "rolldot"])
     parser.add_argument("--cbca_impl", type=str, default="auto",
                         choices=["auto", "mxu", "fused", "fused16", "fused8",
-                                 "pallas", "xla", "rolling", "rolling16"],
+                                 "fused2", "fused2_16", "pallas", "xla",
+                                 "rolling", "rolling16"],
                         help="CBCA aggregation backend. 'auto' picks the "
                              "fast MXU path on TPU (bf16 multiplies, ~0.16%% "
                              "mean relative deviation per stage; end-to-end "
                              "bad-2.0 pinned within 0.5 pt); 'fused' is the "
                              "VMEM-mask MXU kernel (no O(H*W*W) masks — "
                              "required for full-res). Use 'xla' or 'pallas' "
-                             "for exact-f32, reference-matching output")
+                             "for exact-f32, reference-matching output; "
+                             "'fused8' is the int8-storage memory mode; "
+                             "'fused2'/'fused2_16' and 'rolling'/'rolling16' "
+                             "are the measured-slower traffic-reducing "
+                             "variants (kept for future MXU/HBM ratios)")
     parser.add_argument("--volume_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="cost-volume storage dtype; bfloat16 halves "

@@ -20,6 +20,15 @@ response line reports cold/warm status and latency:
 
     {"scene": ..., "seconds": 1.12, "warm": true, "ok": true}
 
+Response ordering: results are emitted in request order. When requests are
+PIPELINED (several lines in flight), scene N's response may be emitted just
+after scene N+1 is dispatched — that is the double-buffering that overlaps
+host I/O with device compute. A SYNCHRONOUS client (waits for each response
+before sending the next request) is also safe: whenever no further request
+is immediately readable, the server finalizes the in-flight scene and emits
+its response before blocking on stdin, so each response arrives as soon as
+the device finishes — never held hostage to the next request.
+
 Usage:
 
     python -m mccnn_tpu.cli.serve --resume weights.npz \
@@ -36,10 +45,62 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import select
 import sys
 import time
 
 import numpy as np
+
+
+class _RequestReader:
+    """Line reader that reports whether a request is immediately available.
+
+    Reads raw bytes from the stream's fd when it has one (real pipes/ttys),
+    so Python-level readline buffering can never hide pending lines from
+    ``select`` — a pipelined batch client keeps full host/device overlap.
+    Falls back to the stream's own ``readline`` for fd-less streams (tests
+    pass ``io.StringIO``), which never block anyway.
+    """
+
+    def __init__(self, stream):
+        self._stream = stream
+        self._buf = b""
+        self._eof = False
+        try:
+            self._fd = stream.fileno()
+        except Exception:  # noqa: BLE001 — StringIO raises UnsupportedOperation
+            self._fd = None
+
+    def poll(self) -> bool:
+        """True if ``readline`` would return without blocking."""
+        if self._fd is None:
+            return True  # in-memory streams never block
+        while b"\n" not in self._buf and not self._eof:
+            if not select.select([self._fd], [], [], 0)[0]:
+                return False
+            chunk = os.read(self._fd, 65536)
+            if not chunk:
+                self._eof = True
+            self._buf += chunk
+        return True
+
+    def readline(self):
+        """Next line without its newline, or ``None`` at EOF (blocking)."""
+        if self._fd is None:
+            line = self._stream.readline()
+            return None if line == "" else line.rstrip("\n")
+        while b"\n" not in self._buf and not self._eof:
+            chunk = os.read(self._fd, 65536)
+            if not chunk:
+                self._eof = True
+            self._buf += chunk
+        if b"\n" in self._buf:
+            raw, self._buf = self._buf.split(b"\n", 1)
+        elif self._buf:
+            raw, self._buf = self._buf, b""
+        else:
+            return None
+        return raw.decode("utf-8", "replace")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -159,7 +220,18 @@ def main(argv=None, stdin=None, stdout=None) -> None:
                               "error": str(exc)[:300]}),
                   file=stdout, flush=True)
 
-    for line in stdin:
+    reader = _RequestReader(stdin)
+    while True:
+        if pending is not None and not reader.poll():
+            # No request is immediately readable: finalize the in-flight
+            # scene NOW rather than while blocked on stdin — a synchronous
+            # client is waiting for this response before it will send the
+            # next request (deadlock otherwise), and the per-scene clock
+            # (timeMCCNN.txt) must not absorb stdin idle time.
+            finalize()
+        line = reader.readline()
+        if line is None:
+            break
         line = line.strip()
         if not line:
             break

@@ -62,19 +62,49 @@ def _params_from_legacy_leaves(data) -> Params:
     The legacy writer flattened ``{"opt_state": ..., "params": ...}``
     (dict keys in sorted order, so momentum leaves come FIRST and mirror
     the params leaves shape-for-shape) or just ``{"params": ...}``. Params
-    flatten as (b, w) pairs per layer in sorted layer-name order.
+    flatten as (b, w) pairs per layer in sorted layer-name order
+    ("conv1" < "conv10" < "conv2").
+
+    The mirror detection is heuristic by nature (the format is anonymous):
+    a 2-way shape mirror is momentum+params (drop the first half); a 3-way
+    mirror is a non-momentum optimizer (e.g. adam) whose slots would parse
+    into plausible-but-wrong layers, so it raises. A params-only net whose
+    layers ALL have identical shapes (including conv1) could trip either
+    test — use the named formats for anything beyond the reference nets.
     """
     n = int(data["num_leaves"]) if "num_leaves" in data.files else len(
         [k for k in data.files if k.startswith("leaf_")]
     )
     leaves = [np.asarray(data[f"leaf_{i}"]) for i in range(n)]
-    half = n // 2
-    if n % 2 == 0 and half > 0 and all(
-        leaves[i].shape == leaves[half + i].shape for i in range(half)
-    ):
-        leaves = leaves[half:]  # drop the momentum mirror
+
+    def mirrors(k: int) -> bool:
+        """All k equal-length parts shape-identical (a k-way state mirror)."""
+        part = n // k
+        return n % k == 0 and part > 0 and all(
+            leaves[j].shape == leaves[(k - 1) * part + j].shape
+            for j in range(part)
+        ) and all(
+            leaves[j].shape == leaves[p * part + j].shape
+            for p in range(1, k - 1) for j in range(part)
+        )
+
+    if mirrors(3):
+        # three mirrored blocks (e.g. adam mu/nu + params) would otherwise
+        # parse leaf-pairwise into plausible-but-garbage conv layers
+        raise ValueError(
+            "legacy snapshot has a 3-way mirrored leaf layout (non-momentum "
+            "optimizer state?); cannot identify the params half — re-save "
+            "with utils.checkpoint.save_checkpoint (named keys)"
+        )
+    if mirrors(2):
+        leaves = leaves[n // 2:]  # drop the momentum mirror
     if len(leaves) % 2:
         raise ValueError(f"cannot split {len(leaves)} leaves into (b, w) pairs")
+    num_layers = len(leaves) // 2
+    # the legacy writer flattened params with dict keys in SORTED STRING
+    # order ("conv1" < "conv10" < "conv2" ...), so pair j belongs to the
+    # j-th name in sorted order — not to conv{j+1}
+    names = sorted(f"conv{i + 1}" for i in range(num_layers))
     params: Params = {}
     for i in range(0, len(leaves), 2):
         b, w = leaves[i], leaves[i + 1]
@@ -83,7 +113,7 @@ def _params_from_legacy_leaves(data) -> Params:
                 f"legacy leaf pair {i // 2} has shapes {b.shape}/{w.shape}, "
                 "expected 1-D bias + 4-D kernel"
             )
-        params[f"conv{i // 2 + 1}"] = {"b": b, "w": w}
+        params[names[i // 2]] = {"b": b, "w": w}
     return params
 
 

@@ -104,6 +104,22 @@ def load_checkpoint(path: str, like: Any) -> Any:
             state["params"] = params
             if "opt_state" in state and state["opt_state"] is not None:
                 opt_leaves, opt_def = jax.tree.flatten(state["opt_state"])
+                if opt_leaves and "num_opt_leaves" not in data.files:
+                    raise ValueError(
+                        f"checkpoint {path} carries no optimizer state "
+                        "(saved with opt_state=None — weights only), but the "
+                        "restore template expects one; resume with a fresh "
+                        "optimizer (pass opt_state=None in `like`) or load "
+                        "weights via models.params.load_params instead"
+                    )
+                if opt_leaves:
+                    saved = int(data["num_opt_leaves"])
+                    if saved != len(opt_leaves):
+                        raise ValueError(
+                            f"checkpoint {path} has {saved} optimizer leaves "
+                            f"but the restore template expects "
+                            f"{len(opt_leaves)} (different optimizer?)"
+                        )
                 restored_opt = [
                     np.asarray(data[f"opt_leaf_{i}"])
                     for i in range(len(opt_leaves))

@@ -125,6 +125,69 @@ def test_training_checkpoint_loads_as_weights(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_legacy_leaves_ten_plus_layers_named_by_flatten_order(tmp_path):
+    """Legacy flat snapshots flatten params in sorted STRING key order
+    (conv1 < conv10 < conv2); with >=10 layers the loader must assign pair
+    j to the j-th sorted name, not to conv{j+1} (ADVICE round-4)."""
+    from mccnn_tpu.models.params import load_any
+
+    # distinct per-layer shapes (growing channel counts) so neither mirror
+    # heuristic can trigger — the naming is what is under test here
+    params = {
+        f"conv{i}": {"b": np.full((2 + i,), i, np.float32),
+                     "w": np.full((3, 3, 2, 2 + i), i, np.float32)}
+        for i in range(1, 11)
+    }
+    leaves = jax.tree.leaves({"params": params})
+    path = str(tmp_path / "model_epoch1.npz")
+    np.savez(path, **{f"leaf_{i}": np.asarray(v)
+                      for i, v in enumerate(leaves)})
+    loaded = load_any(path)
+    assert sorted(loaded) == sorted(params)
+    for name in params:
+        np.testing.assert_array_equal(loaded[name]["b"], params[name]["b"])
+        np.testing.assert_array_equal(loaded[name]["w"], params[name]["w"])
+
+
+def test_legacy_leaves_three_way_mirror_raises(tmp_path):
+    """A 3-way mirrored leaf layout (adam-style mu/nu + params) must raise
+    instead of parsing optimizer slots into plausible-but-wrong layers."""
+    import pytest
+
+    from mccnn_tpu.models.params import load_any
+
+    params = init_params(jax.random.key(0))
+    leaves = jax.tree.leaves({"mu": params, "nu": params, "params": params})
+    path = str(tmp_path / "model_epoch1.npz")
+    np.savez(path, **{f"leaf_{i}": np.asarray(v)
+                      for i, v in enumerate(leaves)})
+    with pytest.raises(ValueError, match="3-way mirror"):
+        load_any(path)
+
+
+def test_load_checkpoint_without_opt_state_raises_clearly(tmp_path):
+    """Restoring a weights-only checkpoint into a template that expects
+    optimizer state must raise a descriptive ValueError, not a bare
+    KeyError('opt_leaf_0') (ADVICE round-4)."""
+    import pytest
+
+    params = init_params(jax.random.key(0))
+    optimizer = make_optimizer(CFG)
+    directory = str(tmp_path / "ckpt")
+    path = save_checkpoint(directory, 1, params, opt_state=None)
+
+    template = {"params": params, "opt_state": optimizer.init(params)}
+    with pytest.raises(ValueError, match="no optimizer state"):
+        load_checkpoint(path, template)
+
+    # and a leaf-count mismatch (different optimizer) is also descriptive
+    path2 = save_checkpoint(directory, 2, params,
+                            opt_state=optimizer.init(params))
+    with pytest.raises(ValueError, match="optimizer leaves"):
+        load_checkpoint(path2, {"params": params,
+                                "opt_state": [np.zeros(3, np.float32)]})
+
+
 def test_checkpoint_pruning(tmp_path):
     params = {"conv1": {"w": np.zeros(3), "b": np.zeros(1)}}
     directory = str(tmp_path / "ckpt")

@@ -9,6 +9,13 @@ and steady-state pairs/s (the devices-idle ceiling is the bench.py pair
 time).
 
     python tools/bench_serve.py [--scenes 8] [--height 1000 --width 1504]
+
+``--client pipelined`` (default) streams every request up front;
+``--client sync`` waits for each scene's response before sending the next
+request — the mode that used to deadlock before the poll-based finalize
+(cli/serve.py::_RequestReader) and now measures pure request/response
+latency. Both pipe modes use REAL OS pipes (the fd/select path production
+stdin takes); ``--client stringio`` keeps the legacy in-memory drive.
 """
 
 from __future__ import annotations
@@ -29,6 +36,58 @@ sys.path.insert(0, REPO)
 FAMILIES = ("translation", "slanted", "textureless", "occlusion")
 
 
+def _drive_over_pipes(serve_main, serve_args, requests, sync: bool):
+    """Run the server on real OS pipes (the production fd/select path).
+
+    ``sync=False``: write every request up front (kernel pipe buffer holds
+    them; the server's poll() sees data and keeps full overlap).
+    ``sync=True``: wait for each scene's response line before sending the
+    next request — deadlocks on servers that hold scene N's response until
+    request N+1 arrives.
+    """
+    import threading
+
+    req_r, req_w = os.pipe()
+    res_r, res_w = os.pipe()
+    server = threading.Thread(
+        target=serve_main,
+        args=(serve_args,),
+        kwargs={"stdin": os.fdopen(req_r, "r"), "stdout": os.fdopen(res_w, "w")},
+        daemon=True,
+    )
+    server.start()
+    writer = os.fdopen(req_w, "w")
+    lines, buf = [], b""
+
+    def next_line():
+        nonlocal buf
+        while b"\n" not in buf:
+            chunk = os.read(res_r, 65536)
+            if not chunk:
+                return None
+            buf += chunk
+        raw, buf = buf.split(b"\n", 1)
+        lines.append(raw.decode())
+        return lines[-1]
+
+    next_line()  # ready event (after warmup)
+    if sync:
+        for request in requests:
+            writer.write(request)
+            writer.flush()
+            next_line()
+        writer.close()
+    else:
+        writer.write("".join(requests))
+        writer.flush()
+        writer.close()
+        for _ in requests:
+            next_line()
+    server.join(timeout=120)
+    os.close(res_r)
+    return lines
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scenes", type=int, default=8)
@@ -37,6 +96,11 @@ def main() -> int:
     parser.add_argument("--ndisp", type=int, default=200)
     parser.add_argument("--root", type=str, default="/tmp/mccnn_serve_bench")
     parser.add_argument("--volume_dtype", type=str, default="bfloat16")
+    parser.add_argument("--client", type=str, default="pipelined",
+                        choices=["pipelined", "sync", "stringio"],
+                        help="pipelined: all requests up front over a real "
+                             "pipe; sync: wait for each response before the "
+                             "next request; stringio: legacy in-memory drive")
     args = parser.parse_args()
 
     from PIL import Image
@@ -72,17 +136,20 @@ def main() -> int:
 
     from mccnn_tpu.cli.serve import main as serve_main
 
-    stdout = io.StringIO()
+    serve_args = ["--resume", weights, "--bucket", "64",
+                  "--volume_dtype", args.volume_dtype,
+                  "--warmup_shapes", f"{args.height}x{args.width}x{args.ndisp}"]
     t0 = time.time()
-    serve_main(
-        ["--resume", weights, "--bucket", "64",
-         "--volume_dtype", args.volume_dtype,
-         "--warmup_shapes", f"{args.height}x{args.width}x{args.ndisp}"],
-        stdin=io.StringIO("".join(requests)),
-        stdout=stdout,
-    )
+    if args.client == "stringio":
+        stdout = io.StringIO()
+        serve_main(serve_args, stdin=io.StringIO("".join(requests)),
+                   stdout=stdout)
+        lines = stdout.getvalue().splitlines()
+    else:
+        lines = _drive_over_pipes(serve_main, serve_args, requests,
+                                  sync=args.client == "sync")
     total = time.time() - t0
-    responses = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    responses = [json.loads(line) for line in lines]
     ready = responses[0]
     assert ready["event"] == "ready" and ready["warmed"] == 1, ready
     scenes = responses[1:]
