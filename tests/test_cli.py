@@ -231,3 +231,84 @@ def test_train_cli_data_parallel(tmp_path, rng):
         "--data_parallel",
     ])
     assert (tmp_path / "ckpt" / "model_epoch1.npz").exists()
+
+
+def test_eval_cli_scene_and_direct_modes(tmp_path, rng, capsys):
+    """cli.eval scores match artifacts vs GT: per-scene + pixel-weighted
+    aggregate bad-N rows, JSONL report, --nonocc masking, direct mode.
+    (The reference has no quantitative evaluation — README.md:31.)"""
+    import jax
+    from PIL import Image
+
+    from mccnn_tpu.cli.eval import main as eval_main
+    from mccnn_tpu.cli.match import main as match_main
+
+    data_dir = tmp_path / "data"
+    for name in ("sceneA", "sceneB"):
+        _write_scene(data_dir / name, rng)
+    # sceneA gets a non-occlusion mask excluding the left border band
+    mask = np.full((24, 40), 255, dtype=np.uint8)
+    mask[:, :6] = 128
+    Image.fromarray(mask, mode="L").save(data_dir / "sceneA" / "mask0nocc.png")
+    list_file = tmp_path / "list.txt"
+    list_file.write_text(
+        f"{data_dir}/sceneA/im0.png\n{data_dir}/sceneB/im0.png\n"
+    )
+    weights = tmp_path / "weights.npz"
+    save_params(init_params(jax.random.key(0)), str(weights))
+    save_dir = tmp_path / "out"
+
+    match_main([
+        "--list_file", str(list_file),
+        "--resume", str(weights),
+        "--data_dir", str(data_dir),
+        "--save_dir", str(save_dir),
+        "--tag", "t0",
+        "--start", "0",
+        "--end", "1",
+        "--cbca_distance", "3",
+        "--cbca_num_iterations1", "1",
+        "--cbca_num_iterations2", "1",
+        "--bucket", "8",
+    ])
+    capsys.readouterr()
+
+    report = tmp_path / "report.jsonl"
+    eval_main([
+        "--list_file", str(list_file),
+        "--data_dir", str(data_dir),
+        "--save_dir", str(save_dir),
+        "--tag", "t0",
+        "--nonocc",
+        "--report", str(report),
+    ])
+    out = capsys.readouterr().out
+    assert "sceneA" in out and "sceneB" in out and "ALL (2 scenes" in out
+
+    rows = [json.loads(line) for line in report.read_text().splitlines()]
+    assert [r["scene"].split("/")[-1] for r in rows[:2]] == [
+        "sceneA", "sceneB"]
+    agg = rows[-1]
+    assert agg["scene"] == "ALL" and agg["n_scenes"] == 2
+    # sceneA scored only where mask==255 (34/40 columns), sceneB fully
+    assert rows[0]["n_valid"] == 24 * 34
+    assert rows[1]["n_valid"] == 24 * 40
+    assert agg["n_valid"] == 24 * 34 + 24 * 40
+    for row in rows:
+        for key in ("bad_0.5", "bad_1", "bad_2", "bad_4", "avg_err",
+                    "rms_err"):
+            assert 0.0 <= row[key] or row[key] >= 0.0  # finite
+        assert row["bad_4"] <= row["bad_2"] <= row["bad_1"] <= row["bad_0.5"]
+    # pixel-weighted aggregate == recomputed from per-scene counts
+    n0, n1 = rows[0]["n_valid"], rows[1]["n_valid"]
+    expect = (rows[0]["bad_2"] * n0 + rows[1]["bad_2"] * n1) / (n0 + n1)
+    assert abs(agg["bad_2"] - expect) < 1e-9
+
+    # direct mode: perfect prediction scores zero everywhere
+    gt_path = str(data_dir / "sceneA" / "disp0GT.pfm")
+    capsys.readouterr()
+    eval_main(["--pred", gt_path, "--gt", gt_path, "--thresholds", "1,2"])
+    out = capsys.readouterr().out
+    assert "ALL (1 scenes" in out
+    last = out.strip().splitlines()[-1].split()
+    assert float(last[-4]) == 0.0 and float(last[-3]) == 0.0  # bad-1, bad-2
