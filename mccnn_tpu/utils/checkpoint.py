@@ -104,7 +104,9 @@ def load_checkpoint(path: str, like: Any) -> Any:
             state["params"] = params
             if "opt_state" in state and state["opt_state"] is not None:
                 opt_leaves, opt_def = jax.tree.flatten(state["opt_state"])
-                if opt_leaves and "num_opt_leaves" not in data.files:
+                has_opt = ("num_opt_leaves" in data.files
+                           or "opt_leaf_0" in data.files)
+                if opt_leaves and not has_opt:
                     raise ValueError(
                         f"checkpoint {path} carries no optimizer state "
                         "(saved with opt_state=None — weights only), but the "
@@ -113,7 +115,12 @@ def load_checkpoint(path: str, like: Any) -> Any:
                         "weights via models.params.load_params instead"
                     )
                 if opt_leaves:
-                    saved = int(data["num_opt_leaves"])
+                    # count key written by save_checkpoint; tolerate archives
+                    # that carry opt_leaf_* without it by counting the keys
+                    saved = (int(data["num_opt_leaves"])
+                             if "num_opt_leaves" in data.files else
+                             sum(k.startswith("opt_leaf_")
+                                 for k in data.files))
                     if saved != len(opt_leaves):
                         raise ValueError(
                             f"checkpoint {path} has {saved} optimizer leaves "

@@ -187,6 +187,19 @@ def test_load_checkpoint_without_opt_state_raises_clearly(tmp_path):
         load_checkpoint(path2, {"params": params,
                                 "opt_state": [np.zeros(3, np.float32)]})
 
+    # a hand-assembled archive carrying opt_leaf_* WITHOUT the
+    # num_opt_leaves count key still restores (count derived from keys)
+    opt_state = optimizer.init(params)
+    with np.load(path2) as data:
+        payload = {k: data[k] for k in data.files if k != "num_opt_leaves"}
+    path3 = str(tmp_path / "ckpt" / "model_epoch3.npz")
+    np.savez(path3, **payload)
+    restored = load_checkpoint(path3, {"params": params,
+                                       "opt_state": opt_state})
+    for a, b in zip(jax.tree.leaves(restored["opt_state"]),
+                    jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_checkpoint_pruning(tmp_path):
     params = {"conv1": {"w": np.zeros(3), "b": np.zeros(1)}}
