@@ -1,4 +1,4 @@
-"""Synthetic stereo scenes with exact ground truth, in four families.
+"""Synthetic stereo scenes with exact ground truth, in five families.
 
 No Middlebury data ships in this environment (BASELINE.md), so parity and
 quality evaluation run on generated scenes. Early rounds used only uniform
@@ -19,6 +19,17 @@ pipeline the way real scenes do (VERDICT round 2, item 9):
                        (stresses CBCA arm growth at the full distance-14
                        crosses and SGM's propagation across ambiguity,
                        reference: src/process_functional.py:571-657).
+  * ``photo``        — REAL photographic texture (photographs bundled with
+                       installed packages — sklearn's china/flower,
+                       matplotlib's grace_hopper) on a slanted plane with
+                       occluding foreground boxes. The band-limited noise
+                       octaves above approximate natural-image statistics;
+                       this family uses actual camera images, so edge/
+                       gradient statistics (which drive the CBCA intensity
+                       test and SGM's D1/D2 penalty scaling, reference:
+                       src/process_functional.py:503-541,571-657) are the
+                       real thing. Falls back to synthetic texture if no
+                       bundled photo can be found (flagged in the result).
 
 Construction: the right view is the "world" texture; the left view samples
 ``left(y, x) = right(y, x - d(y, x))`` with linear subpixel interpolation,
@@ -35,7 +46,70 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-SCENE_FAMILIES = ("translation", "slanted", "occlusion", "textureless")
+SCENE_FAMILIES = ("translation", "slanted", "occlusion", "textureless",
+                  "photo")
+
+# Real photographs that ship inside installed packages (no network, no
+# Middlebury data in this environment). Loaded lazily, cached decoded.
+_PHOTO_CACHE: Dict[str, np.ndarray] = {}
+
+
+def _photo_paths() -> Tuple[str, ...]:
+    import os
+
+    paths = []
+    try:
+        import sklearn.datasets as _skd
+
+        img_dir = os.path.join(os.path.dirname(_skd.__file__), "images")
+        paths += [os.path.join(img_dir, "china.jpg"),
+                  os.path.join(img_dir, "flower.jpg")]
+    except Exception:  # pragma: no cover - environment-dependent
+        pass
+    try:
+        import matplotlib
+
+        paths.append(os.path.join(matplotlib.get_data_path(),
+                                  "sample_data", "grace_hopper.jpg"))
+    except Exception:  # pragma: no cover - environment-dependent
+        pass
+    return tuple(p for p in paths if os.path.exists(p))
+
+
+def _load_photo(path: str) -> np.ndarray:
+    """Decode to grayscale float32 in [0, 1] (cached)."""
+    if path not in _PHOTO_CACHE:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("L"), np.float32) / 255.0
+        _PHOTO_CACHE[path] = arr
+    return _PHOTO_CACHE[path]
+
+
+def _photo_texture(
+    rng: np.random.Generator, height: int, width: int
+) -> np.ndarray:
+    """Real photographic texture of the requested size, or None.
+
+    Mirror-tiles one bundled photograph (so tile seams are gradient-
+    continuous — no fake step edges) to cover (height, width), then takes
+    a random crop. The mirror period (2x the photo size, >= 854 px) is far
+    beyond any disparity search range used here, so the repetition cannot
+    create matching ambiguity inside a search window.
+    """
+    paths = _photo_paths()
+    if not paths:
+        return None
+    photo = _load_photo(paths[int(rng.integers(len(paths)))])
+    block = np.block([[photo, photo[:, ::-1]],
+                      [photo[::-1, :], photo[::-1, ::-1]]])
+    reps_y = -(-(height + block.shape[0]) // block.shape[0])
+    reps_x = -(-(width + block.shape[1]) // block.shape[1])
+    tiled = np.tile(block, (reps_y, reps_x))
+    y0 = int(rng.integers(0, tiled.shape[0] - height + 1))
+    x0 = int(rng.integers(0, tiled.shape[1] - width + 1))
+    return tiled[y0: y0 + height, x0: x0 + width].astype(np.float32)
 
 
 def _texture(rng: np.random.Generator, height: int, width: int) -> np.ndarray:
@@ -121,7 +195,11 @@ def make_scene(
     with no visible correspondence; ``ndisp`` is a valid search range
     (> max gt disparity).
     """
-    right = _texture(rng, height, width)
+    if family == "photo":
+        photo = _photo_texture(rng, height, width)
+        right = photo if photo is not None else _texture(rng, height, width)
+    else:
+        right = _texture(rng, height, width)
     if family == "translation":
         shift = max(2, max_disparity - 2)
         disparity = np.full((height, width), float(shift), np.float32)
@@ -146,6 +224,29 @@ def make_scene(
             right[h0: h0 + hh, w0: w0 + ww] = _texture(rng, hh, ww)[
                 : min(hh, height - h0), : min(ww, width - w0)
             ]
+    elif family == "photo":
+        # slanted base plane (subpixel everywhere) + two occluding
+        # foreground boxes, all textured with real photograph content
+        xx = np.arange(width, dtype=np.float32)[None, :] / max(1, width - 1)
+        yy = np.arange(height, dtype=np.float32)[:, None] / max(1, height - 1)
+        disparity = (2.0 + (max_disparity - 6) * xx + 1.5 * yy).astype(
+            np.float32
+        )
+        for _ in range(2):
+            h0 = int(rng.integers(0, height * 3 // 4))
+            w0 = int(rng.integers(width // 4, width * 3 // 4))
+            hh = int(rng.integers(height // 6, height // 3))
+            ww = int(rng.integers(width // 6, width // 3))
+            hh = min(hh, height - h0)
+            ww = min(ww, width - w0)
+            lo = float(disparity[h0: h0 + hh, w0: w0 + ww].max()) + 2.0
+            fg = float(rng.uniform(min(lo, max_disparity - 2.0),
+                                   max_disparity - 1.0))
+            disparity[h0: h0 + hh, w0: w0 + ww] = fg
+            patch = _photo_texture(rng, hh, ww)
+            right[h0: h0 + hh, w0: w0 + ww] = (
+                patch if patch is not None else _texture(rng, hh, ww)
+            )
     elif family == "textureless":
         shift = max(2, max_disparity - 2)
         disparity = np.full((height, width), float(shift), np.float32)
@@ -161,7 +262,7 @@ def make_scene(
     left = _sample_right(right, disparity)
     occluded = (
         _occlusion_mask(disparity)
-        if family == "occlusion"
+        if family in ("occlusion", "photo")
         else np.zeros((height, width), bool)
     )
     # the left border (x < d) has no correspondence either

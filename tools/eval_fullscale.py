@@ -3,10 +3,11 @@
 All parity evidence elsewhere runs at small-crop scale (where the
 reference's Python loops / the NumPy oracle chain are feasible). This tool
 evaluates ABSOLUTE matching quality at half-res Middlebury scale
-(1000x1504) on the real chip: the four synthetic scene families
+(1000x1504) on the real chip: the five scene families
 (``utils/scenes.py`` — translation, slanted plane, textureless patches,
-occlusion geometry) have exact known disparity, so bad-N / avg-err are
-exact even though no Middlebury data ships in this environment. Occluded
+occlusion geometry, and real-photograph texture) have exact known
+disparity, so bad-N / avg-err are exact even though no Middlebury data
+ships in this environment. Occluded
 pixels are excluded (Middlebury "nonocc" convention).
 
 Runs the production half-res schedule (bf16 volumes + fused CBCA — the
@@ -36,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_CKPT = "/root/reference/data/tensorboard_log/model_epoch2000.ckpt"
 
-FAMILIES = ("translation", "slanted", "textureless", "occlusion")
+FAMILIES = ("translation", "slanted", "textureless", "occlusion", "photo")
 
 
 def main() -> None:
