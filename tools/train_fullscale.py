@@ -10,7 +10,8 @@ batch prefetcher, periodic checkpoints + val sweeps) -> ``model_epochN``
 checkpoint -> ``tools/eval_fullscale.py`` per-family bad-2.0 at headline
 scale, self-trained weights vs the reference's shipped model_epoch2000.
 
-Training scenes are the four synthetic families with gaussian image noise
+Training scenes are the five scene families — four synthetic plus the
+``photo`` family's real camera-image texture — with gaussian image noise
 (clean synthetic texture is too easy — every feature wins; noise makes
 feature quality matter, see tests/test_quality_loop.py). The eval passes
 the same noise level so the table answers "do OUR trained features match
@@ -35,7 +36,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-FAMILIES = ("translation", "slanted", "textureless", "occlusion")
+FAMILIES = ("translation", "slanted", "textureless", "occlusion", "photo")
 
 
 def write_scene_files(scene_dir: str, family: str,
